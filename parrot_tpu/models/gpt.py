@@ -1,0 +1,342 @@
+"""The GPT model family as pure functions over a parameter pytree.
+
+Covers every architecture knob of the reference's single-file GPT
+(``lit_gpt/model.py``): MHA/GQA/MQA via a group-interleaved fused QKV
+projection (``model.py:186,207-224``), partial-rotary RoPE with positional
+interpolation (``model.py:226-232,304-327``), parallel vs sequential residual
+and the falcon-7b shared attention norm (``model.py:158-180``), LayerNorm or
+RMSNorm, and the two MLP variants (``model.py:278-301``).
+
+TPU-first design decisions (vs the reference's mutable nn.Module):
+
+- **Parameters are a pytree** with every per-layer tensor stacked along a
+  leading ``n_layer`` axis, and the layer loop is a ``lax.scan`` — one Block
+  gets traced/compiled once regardless of depth, keeping XLA compile time flat
+  in ``n_layer``.
+- **The KV cache is a functional value** (``KVCache``) threaded through the
+  forward pass, stored with *unrepeated* ``n_query_groups`` heads in
+  ``[L, B, S, groups, H]`` layout (the reference stores repeated heads,
+  ``model.py:130-144``) — 1/q_per_kv the HBM traffic for GQA models.
+- **The rolling window is a circular buffer**: slot ``pos % S`` with modular
+  masking, replacing the reference's O(S) full-cache ``torch.roll`` per token
+  (``model.py:238-242``). Attention is permutation-invariant over key slots,
+  so results match exactly.
+- Activations are BTNH; norms/softmax accumulate in fp32; matmuls run in the
+  activation dtype (bf16 → MXU native).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from parrot_tpu.config import Config
+from parrot_tpu.models.norms import apply_norm
+from parrot_tpu.models.rope import apply_rope, build_rope_cache
+from parrot_tpu.ops.attention import attention
+from parrot_tpu.ops.linear import apply_linear
+
+Params = dict
+
+
+@struct.dataclass
+class KVCache:
+    """Functional KV cache: ``k``/``v`` of shape ``[L, B, S, groups, H]``."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_seq_length(self) -> int:
+        return self.k.shape[2]
+
+    @classmethod
+    def init(
+        cls,
+        config: Config,
+        batch_size: int,
+        max_seq_length: int,
+        dtype: jnp.dtype = jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (
+            config.n_layer,
+            batch_size,
+            max_seq_length,
+            config.n_query_groups,
+            config.head_size,
+        )
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    config: Config, rng: jax.Array, dtype: jnp.dtype = jnp.float32
+) -> Params:
+    """Random init matching the reference (normal(0, 0.02) linears/embeddings,
+    unit norms — ``lit_gpt/model.py:41-54``). Per-layer tensors are stacked
+    along a leading ``n_layer`` axis."""
+    L, D = config.n_layer, config.n_embd
+    I = config.intermediate_size
+    V = config.padded_vocab_size
+    keys = iter(jax.random.split(rng, 16))
+
+    def linear(key, shape_in, shape_out, stacked=True):
+        shape = (L, shape_in, shape_out) if stacked else (shape_in, shape_out)
+        p = {"w": (jax.random.normal(key, shape) * 0.02).astype(dtype)}
+        if config.bias:
+            p["b"] = jnp.zeros(shape[:-2] + (shape_out,), dtype)
+        return p
+
+    def norm(stacked=True):
+        shape = (L, D) if stacked else (D,)
+        p = {"scale": jnp.ones(shape, dtype)}
+        if config.norm_class == "LayerNorm":
+            p["bias"] = jnp.zeros(shape, dtype)
+        return p
+
+    blocks: Params = {
+        "norm_1": norm(),
+        "attn": {
+            "qkv": linear(next(keys), D, config.qkv_out_size),
+            "proj": linear(next(keys), D, D),
+        },
+    }
+    if not config.shared_attention_norm:
+        blocks["norm_2"] = norm()
+    if config.mlp_class == "LLaMAMLP":
+        blocks["mlp"] = {
+            "fc_1": linear(next(keys), D, I),
+            "fc_2": linear(next(keys), D, I),
+            "proj": linear(next(keys), I, D),
+        }
+    else:
+        blocks["mlp"] = {
+            "fc": linear(next(keys), D, I),
+            "proj": linear(next(keys), I, D),
+        }
+
+    return {
+        "wte": {"weight": (jax.random.normal(next(keys), (V, D)) * 0.02).astype(dtype)},
+        "blocks": blocks,
+        "ln_f": norm(stacked=False),
+        "lm_head": {"w": (jax.random.normal(next(keys), (D, V)) * 0.02).astype(dtype)},
+    }
+
+
+def num_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params) if hasattr(x, "size"))
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+
+def split_qkv(config: Config, qkv: jnp.ndarray):
+    """Split the fused projection into (q, k, v) in BTNH layout.
+
+    The fused layout is group-interleaved exactly like the reference
+    (``model.py:207-214``): per query group, ``q_per_kv`` query heads, one key
+    head, one value head.
+    """
+    B, T = qkv.shape[:2]
+    G, Q, H = config.n_query_groups, config.q_per_kv, config.head_size
+    qkv = qkv.reshape(B, T, G, Q + 2, H)
+    q = qkv[:, :, :, :Q].reshape(B, T, G * Q, H)
+    k = qkv[:, :, :, Q]
+    v = qkv[:, :, :, Q + 1]
+    return q, k, v
+
+
+def rope_qk(config: Config, q, k, cos, sin):
+    """Apply partial rotary: rope the first ``rope_n_elem`` dims, pass the rest
+    through unchanged (``model.py:226-232``)."""
+    n_elem = config.rope_n_elem
+    if n_elem <= 0:
+        return q, k
+    H = config.head_size
+    q_roped = apply_rope(q[..., :n_elem], cos, sin)
+    k_roped = apply_rope(k[..., :n_elem], cos, sin)
+    if n_elem == H:
+        return q_roped, k_roped
+    q = jnp.concatenate([q_roped, q[..., n_elem:]], axis=-1)
+    k = jnp.concatenate([k_roped, k[..., n_elem:]], axis=-1)
+    return q, k
+
+
+def attn_forward(
+    p: Params,
+    config: Config,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    kv: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    slot: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    q_offset: int | jnp.ndarray = 0,
+    window: Optional[int] = None,
+):
+    B, T, C = x.shape
+    qkv = apply_linear(p["qkv"], x)
+    q, k, v = split_qkv(config, qkv)
+    q, k = rope_qk(config, q, k, cos, sin)
+    scale = 1.0 / math.sqrt(config.head_size)
+
+    new_kv = None
+    if kv is not None:
+        cache_k, cache_v = kv
+        # circular-buffer write at `slot` (= pos % S); contiguous span —
+        # prefill always starts at 0, decode writes exactly one token.
+        cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, slot, 0, 0))
+        cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, slot, 0, 0))
+        new_kv = (cache_k, cache_v)
+        y = attention(
+            q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), scale=scale, mask=mask
+        )
+    else:
+        y = attention(q, k, v, scale=scale, causal=True, q_offset=q_offset, window=window)
+
+    y = y.reshape(B, T, C)
+    return apply_linear(p["proj"], y), new_kv
+
+
+def mlp_forward(p: Params, config: Config, x: jnp.ndarray) -> jnp.ndarray:
+    if config.mlp_class == "LLaMAMLP":
+        return apply_linear(
+            p["proj"], jax.nn.silu(apply_linear(p["fc_1"], x)) * apply_linear(p["fc_2"], x)
+        )
+    if config.mlp_class == "GptNeoxMLP":
+        return apply_linear(p["proj"], jax.nn.gelu(apply_linear(p["fc"], x), approximate=False))
+    raise ValueError(f"Unknown MLP class {config.mlp_class!r}")
+
+
+def block_forward(
+    p: Params,
+    config: Config,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    kv=None,
+    slot=None,
+    mask=None,
+    q_offset: int | jnp.ndarray = 0,
+    window: Optional[int] = None,
+):
+    """One transformer block (``lit_gpt/model.py:158-180``)."""
+    n_1 = apply_norm(p["norm_1"], x, config.norm_class, config.norm_eps)
+    h, new_kv = attn_forward(
+        p["attn"], config, n_1, cos, sin, kv=kv, slot=slot, mask=mask,
+        q_offset=q_offset, window=window,
+    )
+    if config.parallel_residual:
+        n_2 = n_1 if config.shared_attention_norm else apply_norm(
+            p["norm_2"], x, config.norm_class, config.norm_eps
+        )
+        x = x + h + mlp_forward(p["mlp"], config, n_2)
+    else:
+        x = x + h
+        x = x + mlp_forward(
+            p["mlp"], config, apply_norm(p["norm_2"], x, config.norm_class, config.norm_eps)
+        )
+    return x, new_kv
+
+
+# ---------------------------------------------------------------------------
+# Full forwards
+# ---------------------------------------------------------------------------
+
+
+def _rope_tables(config: Config, dtype: jnp.dtype):
+    return build_rope_cache(
+        config.block_size,
+        config.rope_n_elem,
+        base=config.rope_base,
+        condense_ratio=config.condense_ratio,
+        dtype=jnp.float16 if dtype in (jnp.float16, jnp.bfloat16) else jnp.float32,
+    )
+
+
+def forward(
+    params: Params,
+    config: Config,
+    idx: jnp.ndarray,  # [B, T] int32
+    *,
+    remat: bool = False,
+    window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Full-context causal forward (training / eval). Returns logits [B, T, V].
+
+    ``window=W`` restricts attention to a sliding window of the last ``W``
+    positions — the full-context equivalent of rolling-KV-cache decoding.
+    """
+    T = idx.shape[1]
+    x = jnp.take(params["wte"]["weight"], idx, axis=0)
+    cos, sin = _rope_tables(config, x.dtype)
+    cos, sin = cos[:T], sin[:T]
+
+    def step(x, p_layer):
+        x, _ = block_forward(p_layer, config, x, cos, sin, window=window)
+        return x, None
+
+    if remat:
+        step = jax.checkpoint(step)  # rematerialize each Block's activations
+    x, _ = lax.scan(step, x, params["blocks"])
+
+    x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
+    return apply_linear(params["lm_head"], x)
+
+
+def forward_cached(
+    params: Params,
+    config: Config,
+    idx: jnp.ndarray,  # [B, T] int32
+    cache: KVCache,
+    input_pos: jnp.ndarray,  # scalar int32: absolute position of idx[:, 0]
+) -> tuple[jnp.ndarray, KVCache]:
+    """KV-cached forward for generation. ``idx`` holds ``T`` consecutive tokens
+    starting at absolute position ``input_pos``. Returns (logits, new cache).
+
+    Prefill calls this with the whole prompt at ``input_pos=0``; decode calls
+    it with one token per step. Once ``input_pos >= S`` the cache behaves as a
+    rolling window over the last ``S`` tokens (reference: ``model.py:238-242``).
+    """
+    B, T = idx.shape
+    S = cache.max_seq_length
+    x = jnp.take(params["wte"]["weight"], idx, axis=0)
+
+    cos_t, sin_t = _rope_tables(config, x.dtype)
+    positions = input_pos + jnp.arange(T)
+    cos = jnp.take(cos_t, positions, axis=0)
+    sin = jnp.take(sin_t, positions, axis=0)
+
+    # key slot j is visible to query at absolute time t iff j <= t (pre-wrap)
+    # or unconditionally once the window has wrapped (all slots hold the most
+    # recent S tokens).
+    slots = jnp.arange(S)[None, :]
+    visible = (slots <= positions[:, None]) | (positions[:, None] >= S)  # [T, S]
+    mask = jnp.broadcast_to(visible[None], (B, T, S))
+    slot = jnp.where(input_pos >= S, input_pos % S, input_pos)
+
+    def step(x, layer):
+        p_layer, k_l, v_l = layer
+        x, new_kv = block_forward(
+            p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask
+        )
+        return x, new_kv
+
+    x, (new_k, new_v) = lax.scan(step, x, (params["blocks"], cache.k, cache.v))
+
+    x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
+    logits = apply_linear(params["lm_head"], x)
+    return logits, KVCache(k=new_k, v=new_v)

@@ -1,0 +1,41 @@
+"""Quantized matmul dispatch: Pallas fused kernels on TPU, XLA fallback.
+
+The XLA paths here are the correctness oracle (mirror of the reference's
+"dequantize then F.linear" fallback, ``quantize/gptq.py:258-262``). On TPU the
+hot cases route to fused Pallas dequant-matmul kernels
+(:mod:`parrot_tpu.ops.pallas_quant`); the weight never materializes in
+full precision in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tpu.quantize import formats
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
+    """``y = x @ dequant(p)`` with shape ``x: [..., in] -> y: [..., out]``."""
+    if p.fmt == "int8":
+        if _on_tpu():
+            from parrot_tpu.ops import pallas_quant
+
+            return pallas_quant.int8_matmul(p, x)
+        # scales are per-output-channel, so they commute past the contraction:
+        # contract against raw int8 weights (cast to activation dtype) and
+        # rescale the [..., out] result — never materializes fp weights.
+        y = jnp.dot(x, p.qw.astype(x.dtype))
+        return (y.astype(jnp.float32) * p.scales.astype(jnp.float32)).astype(x.dtype)
+    if p.fmt in ("int4", "nf4"):
+        if _on_tpu():
+            from parrot_tpu.ops import pallas_quant
+
+            return pallas_quant.int4_matmul(p, x)
+        w = formats.dequantize(p, dtype=x.dtype)
+        return jnp.dot(x, w)
+    raise ValueError(f"Unknown quantized format {p.fmt!r}")

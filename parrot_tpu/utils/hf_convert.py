@@ -1,0 +1,258 @@
+"""HuggingFace checkpoint -> parrot-tpu parameter pytree conversion.
+
+Reimplements the per-family weight maps of the reference converter
+(``scripts/convert_hf_checkpoint.py:19-167``) for the functional parameter
+layout of :mod:`parrot_tpu.models.gpt`:
+
+- linear weights transpose to ``[in, out]``;
+- per-layer tensors stack along a leading ``n_layer`` axis (scan layout);
+- GPT-NeoX and Falcon fused QKV tensors copy through unchanged (their HF
+  layout is already the group-interleaved one);
+- Llama-family separate q/k/v projections interleave per query group
+  (reference ``:153-167``): per group, ``q_per_kv`` query heads then one key
+  head then one value head.
+
+The core operates on numpy arrays so it is torch-free; thin loaders read
+``.bin``/``.safetensors`` shards one at a time (the streaming discipline of the
+reference's ``incremental_save`` — peak host memory stays at one shard plus the
+output tree).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from parrot_tpu.config import Config
+
+# ---------------------------------------------------------------------------
+# Family weight maps: HF name pattern -> (pytree path, transpose?)
+# `L` marks the layer index; paths are into the parrot param tree with the
+# layer axis removed (stacking happens at the end).
+# ---------------------------------------------------------------------------
+
+_NEOX_MAP = {
+    "gpt_neox.embed_in.weight": ("wte.weight", False),
+    "gpt_neox.layers.{L}.input_layernorm.weight": ("blocks.norm_1.scale", False),
+    "gpt_neox.layers.{L}.input_layernorm.bias": ("blocks.norm_1.bias", False),
+    "gpt_neox.layers.{L}.attention.query_key_value.weight": ("blocks.attn.qkv.w", True),
+    "gpt_neox.layers.{L}.attention.query_key_value.bias": ("blocks.attn.qkv.b", False),
+    "gpt_neox.layers.{L}.attention.dense.weight": ("blocks.attn.proj.w", True),
+    "gpt_neox.layers.{L}.attention.dense.bias": ("blocks.attn.proj.b", False),
+    "gpt_neox.layers.{L}.post_attention_layernorm.weight": ("blocks.norm_2.scale", False),
+    "gpt_neox.layers.{L}.post_attention_layernorm.bias": ("blocks.norm_2.bias", False),
+    "gpt_neox.layers.{L}.mlp.dense_h_to_4h.weight": ("blocks.mlp.fc.w", True),
+    "gpt_neox.layers.{L}.mlp.dense_h_to_4h.bias": ("blocks.mlp.fc.b", False),
+    "gpt_neox.layers.{L}.mlp.dense_4h_to_h.weight": ("blocks.mlp.proj.w", True),
+    "gpt_neox.layers.{L}.mlp.dense_4h_to_h.bias": ("blocks.mlp.proj.b", False),
+    "gpt_neox.final_layer_norm.weight": ("ln_f.scale", False),
+    "gpt_neox.final_layer_norm.bias": ("ln_f.bias", False),
+    "embed_out.weight": ("lm_head.w", True),
+}
+
+_FALCON_7B_MAP = {
+    "transformer.word_embeddings.weight": ("wte.weight", False),
+    "transformer.h.{L}.input_layernorm.weight": ("blocks.norm_1.scale", False),
+    "transformer.h.{L}.input_layernorm.bias": ("blocks.norm_1.bias", False),
+    "transformer.h.{L}.self_attention.query_key_value.weight": ("blocks.attn.qkv.w", True),
+    "transformer.h.{L}.self_attention.dense.weight": ("blocks.attn.proj.w", True),
+    "transformer.h.{L}.mlp.dense_h_to_4h.weight": ("blocks.mlp.fc.w", True),
+    "transformer.h.{L}.mlp.dense_4h_to_h.weight": ("blocks.mlp.proj.w", True),
+    "transformer.ln_f.weight": ("ln_f.scale", False),
+    "transformer.ln_f.bias": ("ln_f.bias", False),
+    "lm_head.weight": ("lm_head.w", True),
+}
+
+_FALCON_40B_MAP = dict(_FALCON_7B_MAP)
+del _FALCON_40B_MAP["transformer.h.{L}.input_layernorm.weight"]
+del _FALCON_40B_MAP["transformer.h.{L}.input_layernorm.bias"]
+_FALCON_40B_MAP.update({
+    "transformer.h.{L}.ln_attn.weight": ("blocks.norm_1.scale", False),
+    "transformer.h.{L}.ln_attn.bias": ("blocks.norm_1.bias", False),
+    "transformer.h.{L}.ln_mlp.weight": ("blocks.norm_2.scale", False),
+    "transformer.h.{L}.ln_mlp.bias": ("blocks.norm_2.bias", False),
+})
+
+_LLAMA_MAP = {
+    "model.embed_tokens.weight": ("wte.weight", False),
+    "model.layers.{L}.input_layernorm.weight": ("blocks.norm_1.scale", False),
+    "model.layers.{L}.self_attn.q_proj.weight": ("__qkv_q", False),
+    "model.layers.{L}.self_attn.k_proj.weight": ("__qkv_k", False),
+    "model.layers.{L}.self_attn.v_proj.weight": ("__qkv_v", False),
+    "model.layers.{L}.self_attn.o_proj.weight": ("blocks.attn.proj.w", True),
+    "model.layers.{L}.post_attention_layernorm.weight": ("blocks.norm_2.scale", False),
+    "model.layers.{L}.mlp.gate_proj.weight": ("blocks.mlp.fc_1.w", True),
+    "model.layers.{L}.mlp.up_proj.weight": ("blocks.mlp.fc_2.w", True),
+    "model.layers.{L}.mlp.down_proj.weight": ("blocks.mlp.proj.w", True),
+    "model.norm.weight": ("ln_f.scale", False),
+    "lm_head.weight": ("lm_head.w", True),
+}
+
+_IGNORED = re.compile(
+    r"(rotary_emb\.inv_freq|attention\.bias$|attention\.masked_bias$|\.num_batches_tracked$)"
+)
+
+
+def weight_map_for(config: Config) -> dict:
+    if "falcon" in config.name:
+        return _FALCON_40B_MAP if config.n_embd == 8192 else _FALCON_7B_MAP
+    if config.mlp_class == "LLaMAMLP":
+        return _LLAMA_MAP
+    return _NEOX_MAP
+
+
+def interleave_qkv(config: Config, q: np.ndarray, k: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Fuse separate HF q/k/v projections ``[out, in]`` into the
+    group-interleaved layout, returning ``[in, qkv_out]`` (already transposed).
+    """
+    hs, G, Q = config.head_size, config.n_query_groups, config.q_per_kv
+    D = q.shape[1]
+    q = q.reshape(G, Q * hs, D)
+    k = k.reshape(G, hs, D)
+    v = v.reshape(G, hs, D)
+    fused = np.concatenate([q, k, v], axis=1)  # [G, (Q+2)*hs, D]
+    return np.ascontiguousarray(fused.reshape(G * (Q + 2) * hs, D).T)
+
+
+def _set_path(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_hf_state_dict(
+    config: Config,
+    shards: Iterator[dict[str, np.ndarray]],
+    dtype: Optional[np.dtype] = None,
+) -> dict:
+    """Convert an iterator of HF state-dict shards into a parrot param tree.
+
+    Shards are consumed one at a time. Returns the nested dict with stacked
+    per-layer leaves, ready to feed :func:`parrot_tpu.models.gpt.forward`.
+    """
+    wmap = weight_map_for(config)
+    flat: dict[str, np.ndarray] = {}
+    per_layer: dict[str, dict[int, np.ndarray]] = {}
+    qkv_parts: dict[int, dict[str, np.ndarray]] = {}
+
+    layer_re = re.compile(r"^(.*?\.)(\d+)(\..*)$")
+
+    for shard in shards:
+        for name, param in shard.items():
+            if _IGNORED.search(name):
+                continue
+            m = layer_re.match(name)
+            if m and (m.group(1).endswith("layers.") or m.group(1).endswith("h.")):
+                layer = int(m.group(2))
+                pattern = f"{m.group(1)}{{L}}{m.group(3)}"
+                if pattern not in wmap:
+                    continue
+                to_path, transpose = wmap[pattern]
+                arr = np.asarray(param)
+                if to_path.startswith("__qkv_"):
+                    qkv_parts.setdefault(layer, {})[to_path[-1]] = arr
+                    parts = qkv_parts[layer]
+                    if len(parts) == 3:
+                        fused = interleave_qkv(config, parts["q"], parts["k"], parts["v"])
+                        per_layer.setdefault("blocks.attn.qkv.w", {})[layer] = fused
+                        del qkv_parts[layer]
+                    continue
+                if transpose:
+                    arr = np.ascontiguousarray(arr.T)
+                per_layer.setdefault(to_path, {})[layer] = arr
+            else:
+                if name not in wmap:
+                    continue
+                to_path, transpose = wmap[name]
+                arr = np.asarray(param)
+                if transpose:
+                    arr = np.ascontiguousarray(arr.T)
+                flat[to_path] = arr
+
+    if qkv_parts:
+        raise ValueError(f"Incomplete q/k/v projections for layers {sorted(qkv_parts)}")
+
+    tree: dict = {}
+    for path, arr in flat.items():
+        _set_path(tree, path, _maybe_cast(_pad_vocab(config, path, arr), dtype))
+    for path, by_layer in per_layer.items():
+        if len(by_layer) != config.n_layer:
+            missing = sorted(set(range(config.n_layer)) - set(by_layer))
+            raise ValueError(f"{path}: missing layers {missing}")
+        stacked = np.stack([by_layer[i] for i in range(config.n_layer)])
+        _set_path(tree, path, _maybe_cast(stacked, dtype))
+    return tree
+
+
+def _pad_vocab(config: Config, path: str, arr: np.ndarray) -> np.ndarray:
+    """Zero-pad embedding/lm_head rows up to ``padded_vocab_size``."""
+    V = config.padded_vocab_size
+    if path == "wte.weight" and arr.shape[0] < V:
+        pad = np.zeros((V - arr.shape[0], arr.shape[1]), arr.dtype)
+        arr = np.concatenate([arr, pad], axis=0)
+    elif path == "lm_head.w" and arr.shape[1] < V:
+        pad = np.zeros((arr.shape[0], V - arr.shape[1]), arr.dtype)
+        arr = np.concatenate([arr, pad], axis=1)
+    return arr
+
+
+def _maybe_cast(arr: np.ndarray, dtype: Optional[np.dtype]) -> np.ndarray:
+    if dtype is None:
+        return arr
+    return arr.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Shard loaders (host-side IO)
+# ---------------------------------------------------------------------------
+
+
+def iter_hf_shards(checkpoint_dir: Path) -> Iterator[dict[str, np.ndarray]]:
+    """Yield HF checkpoint shards as numpy dicts, one file at a time.
+
+    Handles both ``*.safetensors`` and torch ``*.bin`` shards, resolving the
+    shard list from the index json when present (reference ``:209-215``).
+    """
+    checkpoint_dir = Path(checkpoint_dir)
+    files: set[Path] = set()
+    for index_name in ("model.safetensors.index.json", "pytorch_model.bin.index.json"):
+        idx = checkpoint_dir / index_name
+        if idx.is_file():
+            with open(idx) as f:
+                files = {checkpoint_dir / v for v in json.load(f)["weight_map"].values()}
+            break
+    if not files:
+        files = set(checkpoint_dir.glob("*.safetensors")) or set(checkpoint_dir.glob("*.bin"))
+    if not files:
+        raise ValueError(f"No .safetensors or .bin shards in {checkpoint_dir}")
+
+    for path in sorted(files):
+        if path.suffix == ".safetensors":
+            from safetensors.numpy import load_file
+
+            yield load_file(path)
+        else:
+            yield load_torch_bin(path)
+
+
+def load_torch_bin(path: Path) -> dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+    out = {}
+    for k, v in sd.items():
+        if not hasattr(v, "numpy"):
+            continue
+        if v.dtype == torch.bfloat16:
+            # numpy has no bfloat16; round-trip through float32
+            out[k] = v.to(torch.float32).numpy()
+        else:
+            out[k] = v.numpy()
+    return out
