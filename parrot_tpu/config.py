@@ -36,8 +36,11 @@ def find_multiple(n: int, k: int) -> int:
     return n + k - (n % k)
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
+    """Frozen (hashable) so a Config can be a static argument to ``jax.jit``
+    — the whole model architecture is compile-time constant on TPU."""
+
     org: str = "parrot-tpu"
     name: str = "parrot-tpu"
     block_size: int = 4096
@@ -67,9 +70,11 @@ class Config:
         if self.n_embd % self.n_head != 0:
             raise ValueError(f"n_embd={self.n_embd} must divide n_head={self.n_head}")
         if self.padded_vocab_size is None:
-            self.padded_vocab_size = find_multiple(self.vocab_size, self.padding_multiple)
+            object.__setattr__(
+                self, "padded_vocab_size", find_multiple(self.vocab_size, self.padding_multiple)
+            )
         if self.n_query_groups is None:
-            self.n_query_groups = self.n_head
+            object.__setattr__(self, "n_query_groups", self.n_head)
         elif self.n_head % self.n_query_groups != 0:
             raise ValueError(
                 f"n_head={self.n_head} must be divisible by n_query_groups={self.n_query_groups}"
@@ -77,7 +82,10 @@ class Config:
         if self.intermediate_size is None:
             if self._mlp_class == "LLaMAMLP":
                 raise ValueError("LLaMAMLP requires an explicit `intermediate_size`")
-            self.intermediate_size = 4 * self.n_embd
+            object.__setattr__(self, "intermediate_size", 4 * self.n_embd)
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
 
     # -- derived geometry ---------------------------------------------------
 

@@ -1,0 +1,156 @@
+"""Autoregressive generation engine.
+
+The reference generates with a per-token Python loop that re-enters the model
+(and, on XLA, forces a graph break every step — ``generate/base.py:131-157``).
+Here the whole decode runs inside one jitted program: prefill consumes the
+prompt, then a ``lax.while_loop`` takes single-token steps against the
+functional KV cache, sampling on-device and early-exiting on EOS. The host
+sees exactly one dispatch per generation (plus one per prompt-length bucket
+for compilation).
+
+``generate_stream`` covers the chat use case (``chat/base.py:49-95``): it
+yields tokens as they are produced by stepping a jitted single-token function
+from Python, with multi-token stop-sequence detection handled host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from parrot_tpu.config import Config
+from parrot_tpu.models import gpt
+from parrot_tpu.models.gpt import KVCache
+from parrot_tpu.ops.sampling import sample
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "max_returned_tokens", "max_seq_length", "temperature", "top_k",
+        "eos_id", "cache_dtype",
+    ),
+)
+def generate(
+    params,
+    config: Config,
+    prompt: jnp.ndarray,  # [T] int32
+    rng: jax.Array,
+    *,
+    max_returned_tokens: int,
+    max_seq_length: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    cache_dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate up to ``max_returned_tokens - T`` tokens after the prompt.
+
+    Returns ``(tokens, length)``: a fixed-size ``[max_returned_tokens]``
+    buffer (positions past ``length`` hold the pad value 0) and the number of
+    valid tokens including the prompt and any EOS. Mirrors
+    ``generate/base.py:92-159`` semantics, entirely on device.
+    """
+    T = prompt.shape[0]
+    R = max_returned_tokens
+    if max_seq_length is None:
+        max_seq_length = R
+    S = min(max_seq_length, config.block_size)
+
+    cache = KVCache.init(config, 1, S, dtype=cache_dtype)
+    tokens = jnp.zeros((R,), jnp.int32).at[:T].set(prompt)
+
+    # prefill
+    logits, cache = gpt.forward_cached(
+        params, config, prompt[None, :], cache, jnp.asarray(0, jnp.int32)
+    )
+    rng, step_rng = jax.random.split(rng)
+    next_tok = sample(step_rng, logits[0, -1], temperature, top_k)
+
+    def cond(state):
+        tokens, cache, pos, cur, rng, done = state
+        return jnp.logical_and(pos < R, jnp.logical_not(done))
+
+    def body(state):
+        tokens, cache, pos, cur, rng, done = state
+        tokens = lax.dynamic_update_slice(tokens, cur[None], (pos,))
+        is_eos = (cur == eos_id) if eos_id is not None else jnp.asarray(False)
+        logits, cache = gpt.forward_cached(
+            params, config, cur[None, None], cache, pos
+        )
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample(step_rng, logits[0, -1], temperature, top_k)
+        return (tokens, cache, pos + 1, nxt, rng, is_eos)
+
+    state = (tokens, cache, jnp.asarray(T, jnp.int32), next_tok, rng, jnp.asarray(False))
+    tokens, _, pos, _, _, done = lax.while_loop(cond, body, state)
+    # `pos` counts tokens written; EOS (when hit) is included in the buffer
+    return tokens, pos
+
+
+def generate_stream(
+    params,
+    config: Config,
+    prompt: jnp.ndarray,  # [T] int32
+    rng: jax.Array,
+    *,
+    max_returned_tokens: int,
+    max_seq_length: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    stop_tokens: tuple[tuple[int, ...], ...] = (),
+    cache_dtype: jnp.dtype = jnp.bfloat16,
+) -> Iterator[int]:
+    """Yield generated token ids one at a time (streaming chat).
+
+    Stops at ``max_returned_tokens`` or when any of the ``stop_tokens``
+    sequences is produced; the stop sequence itself is not yielded (buffered
+    until disambiguated, as in ``chat/base.py:62-85``).
+    """
+    T = int(prompt.shape[0])
+    R = max_returned_tokens
+    S = min(max_seq_length or R, config.block_size)
+
+    step_fn = jax.jit(
+        functools.partial(_decode_step, config=config, temperature=temperature, top_k=top_k),
+        static_argnames=(),
+    )
+
+    cache = KVCache.init(config, 1, S, dtype=cache_dtype)
+    logits, cache = jax.jit(functools.partial(gpt.forward_cached, config=config))(
+        params, idx=prompt[None, :], cache=cache, input_pos=jnp.asarray(0, jnp.int32)
+    )
+    rng, step_rng = jax.random.split(rng)
+    tok = sample(step_rng, logits[0, -1], temperature, top_k)
+
+    def _tail_is_stop(buf: list[int]) -> bool:
+        return any(len(buf) >= len(s) and tuple(buf[-len(s):]) == s for s in stop_tokens)
+
+    def _is_stop_prefix(buf: list[int]) -> bool:
+        return any(tuple(buf) == s[: len(buf)] for s in stop_tokens)
+
+    # `buffer` always holds the withheld tail that might still complete a stop
+    # sequence; everything else has been yielded (chat/base.py:62-85 pattern)
+    buffer: list[int] = []
+    pos = T
+    while pos < R:
+        buffer.append(int(tok))
+        if _tail_is_stop(buffer):
+            return
+        while buffer and not _is_stop_prefix(buffer):
+            yield buffer.pop(0)
+        rng, step_rng = jax.random.split(rng)
+        tok, cache = step_fn(params, tok, cache, jnp.asarray(pos, jnp.int32), step_rng)
+        pos += 1
+    # ran out of budget: nothing withheld can complete a stop sequence anymore
+    yield from buffer
+
+
+def _decode_step(params, tok, cache, pos, rng, *, config, temperature, top_k):
+    logits, cache = gpt.forward_cached(params, config, tok[None, None], cache, pos)
+    nxt = sample(rng, logits[0, -1], temperature, top_k)
+    return nxt, cache

@@ -1,0 +1,127 @@
+"""Sharding rules: parameter/activation/cache PartitionSpecs by pytree path.
+
+This module is the declarative replacement for the reference's
+``FSDPStrategy(auto_wrap_policy={Block}, ...)`` (``finetune/full.py:61-67``)
+plus the tensor parallelism the reference lacks:
+
+- **tensor** axis shards the head dimension of QKV, the ffn columns of the
+  MLP up-projections, and the contraction dim of the down-projections — the
+  Megatron split: one all-reduce (psum) per block on each proj output,
+  inserted automatically by GSPMD from these specs.
+- **fsdp** axis shards the remaining large dim of every weight; XLA
+  all-gathers just-in-time per layer (ZeRO-3 semantics) and reduce-scatters
+  gradients.
+
+Rules are matched on the dotted path of each leaf, so they apply uniformly to
+dense leaves and to the array fields inside ``QuantizedLinear`` groups (packed
+int4 weights shard exactly like their fp counterparts — K-packing keeps the
+out-features axis intact).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# path-regex -> spec for the *trailing* named dims; a leading stacked-layer
+# axis (rank mismatch) is padded with None automatically.
+_PARAM_RULES: list[tuple[str, P]] = [
+    (r"wte\.weight$", P(None, "fsdp")),                      # [V, D]
+    (r"lm_head\.(w|qw)$", P("fsdp", "tensor")),              # [D, V]
+    (r"attn\.qkv\.(w|qw)$", P("fsdp", "tensor")),            # [D, (nh+2g)hs]
+    (r"attn\.qkv\.(b|scales|zeros)$", P("tensor")),          # [(nh+2g)hs]-ish
+    (r"attn\.proj\.(w|qw)$", P("tensor", "fsdp")),           # [D, D] (in=heads)
+    (r"mlp\.(fc|fc_1|fc_2)\.(w|qw)$", P("fsdp", "tensor")),  # [D, I]
+    (r"mlp\.(fc|fc_1|fc_2)\.(b|scales|zeros)$", P("tensor")),
+    (r"mlp\.proj\.(w|qw)$", P("tensor", "fsdp")),            # [I, D]
+    (r"lm_head\.(scales|zeros)$", P("tensor")),
+    # everything else (norms, small biases, nf4 block scales): replicated
+]
+
+
+def _spec_for_path(path: str, ndim: int) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            pad = ndim - len(spec)
+            if pad < 0:  # e.g. grouped int4 scales [n_groups, out] vs P(out)
+                return P(*([None] * (ndim - 1) + [spec[-1]]))
+            return P(*([None] * pad + list(spec)))
+    return P(*([None] * ndim))
+
+
+def _iter_leaf_paths(tree: Any, prefix: str = ""):
+    """Yield (dotted_path, leaf) including inside QuantizedLinear groups."""
+    from parrot_tpu.quantize.formats import QuantizedLinear
+
+    if isinstance(tree, QuantizedLinear):
+        for field in ("qw", "scales", "zeros", "scales2", "b"):
+            val = getattr(tree, field)
+            if val is not None:
+                yield f"{prefix}.{field}" if prefix else field, val
+        return
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_leaf_paths(v, f"{prefix}.{k}" if prefix else k)
+        return
+    yield prefix, tree
+
+
+def param_specs(params: Any) -> Any:
+    """PartitionSpec pytree matching ``params``' structure."""
+    return _map_with_path(params, lambda path, leaf: _spec_for_path(path, leaf.ndim))
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    return _map_with_path(
+        params,
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf.ndim)),
+    )
+
+
+def _map_with_path(tree: Any, fn: Callable[[str, Any], Any], prefix: str = ""):
+    from parrot_tpu.quantize.formats import QuantizedLinear
+
+    if isinstance(tree, QuantizedLinear):
+        fields = {}
+        for field in ("qw", "scales", "zeros", "scales2", "b"):
+            val = getattr(tree, field)
+            path = f"{prefix}.{field}" if prefix else field
+            fields[field] = None if val is None else fn(path, val)
+        return tree.replace(**fields)
+    if isinstance(tree, dict):
+        return {
+            k: _map_with_path(v, fn, f"{prefix}.{k}" if prefix else k)
+            for k, v in tree.items()
+        }
+    return fn(prefix, tree)
+
+
+# -- activations / data / cache --------------------------------------------
+
+BATCH_SPEC = P(("data", "fsdp"))  # batch dim sharded over both dp-like axes
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """[B, T, ...] arrays: shard batch over data+fsdp."""
+    return NamedSharding(mesh, P(*([("data", "fsdp")] + [None] * (ndim - 1))))
+
+
+def kv_cache_spec() -> P:
+    """[L, B, S, G, H]: batch over data+fsdp, kv heads over tensor."""
+    return P(None, ("data", "fsdp"), None, "tensor", None)
+
+
+def kv_cache_sharding(mesh: Mesh):
+    from parrot_tpu.models.gpt import KVCache
+
+    spec = NamedSharding(mesh, kv_cache_spec())
+    return KVCache(k=spec, v=spec)  # type: ignore[arg-type]
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Device-put a param tree according to the rules (lazy per-leaf)."""
+    shardings = param_shardings(mesh, params)
+    return jax.tree.map(lambda p, s: jax.device_put(p, s), params, shardings)

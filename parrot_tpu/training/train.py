@@ -1,0 +1,111 @@
+"""Training step construction: sharded loss/grad/update under one jit.
+
+The reference's training skeleton (``finetune/full.py:115-200``) — forward,
+chunked CE on shifted targets, backward with gradient accumulation under
+``no_backward_sync``, optimizer step on the accumulation boundary — becomes
+two pure functions:
+
+- ``train_step``: one optimizer update from one (macro)batch. Gradient
+  accumulation is a ``lax.scan`` over microbatches *inside* the jit, so the
+  collectives GSPMD inserts for fsdp/tensor sharding are amortized exactly
+  like Fabric's no_backward_sync achieves on GPU.
+- ``eval_step``: loss only.
+
+Shardings come from :mod:`parrot_tpu.parallel.sharding`; donate the params
+and optimizer state for in-place updates on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from parrot_tpu.config import Config
+from parrot_tpu.models import gpt
+from parrot_tpu.ops.cross_entropy import chunked_cross_entropy
+
+
+def loss_fn(
+    params: Any,
+    config: Config,
+    input_ids: jnp.ndarray,  # [B, T]
+    labels: jnp.ndarray,  # [B, T], -1 = ignored
+    *,
+    remat: bool = True,
+    chunk_size: int = 128,
+) -> jnp.ndarray:
+    logits = gpt.forward(params, config, input_ids, remat=remat)
+    # next-token prediction: logits t predicts label t+1 (finetune/full.py:163-165)
+    return chunked_cross_entropy(
+        logits[:, :-1], labels[:, 1:], chunk_size=chunk_size
+    )
+
+
+def make_train_step(
+    config: Config,
+    optimizer: optax.GradientTransformation,
+    *,
+    accumulate_steps: int = 1,
+    remat: bool = True,
+    trainable_mask: Optional[Any] = None,
+):
+    """Build a jittable ``(params, opt_state, batch) -> (params, opt_state,
+    loss)`` step.
+
+    ``batch`` is ``{"input_ids": [A, B, T], "labels": [A, B, T]}`` when
+    ``accumulate_steps=A > 1``, else ``[B, T]``.
+
+    ``trainable_mask``: pytree of bools matching params; False leaves get zero
+    gradients (PEFT: the functional form of ``mark_only_lora_as_trainable``,
+    ``lit_gpt/lora.py:412-442``).
+    """
+
+    grad_fn = jax.value_and_grad(
+        functools.partial(loss_fn, config=config, remat=remat)
+    )
+
+    def microbatch_grads(params, input_ids, labels):
+        loss, grads = grad_fn(params, input_ids=input_ids, labels=labels)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+            )
+        return loss, grads
+
+    def train_step(params, opt_state, batch):
+        input_ids, labels = batch["input_ids"], batch["labels"]
+        if accumulate_steps == 1:
+            loss, grads = microbatch_grads(params, input_ids, labels)
+        else:
+            def scan_body(carry, micro):
+                acc, total = carry
+                loss, grads = microbatch_grads(params, micro["input_ids"], micro["labels"])
+                acc = jax.tree.map(jnp.add, acc, grads)
+                return (acc, total + loss), None
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (grads, total), _ = lax.scan(
+                scan_body, (zero, jnp.float32(0.0)), {"input_ids": input_ids, "labels": labels}
+            )
+            grads = jax.tree.map(lambda g: g / accumulate_steps, grads)
+            loss = total / accumulate_steps
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(config: Config, *, remat: bool = False):
+    def eval_step(params, batch):
+        return loss_fn(
+            params, config, batch["input_ids"], batch["labels"], remat=remat
+        )
+
+    return eval_step

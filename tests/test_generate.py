@@ -1,0 +1,127 @@
+"""Generation engine tests (reference analogue: tests/test_generate.py +
+test_chat.py stop-token table tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import Config
+from parrot_tpu.generate import engine
+from parrot_tpu.models import gpt
+
+CFG = Config(
+    name="tiny",
+    block_size=32,
+    vocab_size=64,
+    padded_vocab_size=64,
+    n_layer=2,
+    n_head=2,
+    n_embd=32,
+    rotary_percentage=1.0,
+)
+
+
+def make_params():
+    return gpt.init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_generate_greedy_deterministic():
+    params = make_params()
+    prompt = jnp.array([1, 2, 3, 4], jnp.int32)
+    toks1, n1 = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(1),
+        max_returned_tokens=12, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    toks2, n2 = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(2),
+        max_returned_tokens=12, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    assert int(n1) == 12 and int(n2) == 12
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+    np.testing.assert_array_equal(np.asarray(toks1[:4]), np.asarray(prompt))
+
+
+def test_generate_matches_stepwise_forward():
+    """The fused while_loop decode must equal a hand-rolled python loop."""
+    params = make_params()
+    prompt = jnp.array([5, 9, 2], jnp.int32)
+    R = 10
+    toks, n = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=R, temperature=0.0, cache_dtype=jnp.float32,
+    )
+
+    cache = gpt.KVCache.init(CFG, 1, R, dtype=jnp.float32)
+    logits, cache = gpt.forward_cached(params, CFG, prompt[None], cache, jnp.asarray(0))
+    out = list(np.asarray(prompt))
+    tok = int(jnp.argmax(logits[0, -1]))
+    for pos in range(3, R):
+        out.append(tok)
+        if pos == R - 1:
+            break
+        logits, cache = gpt.forward_cached(
+            params, CFG, jnp.asarray([[tok]], jnp.int32), cache, jnp.asarray(pos)
+        )
+        tok = int(jnp.argmax(logits[0, -1]))
+    np.testing.assert_array_equal(np.asarray(toks)[:R], np.asarray(out))
+
+
+def test_generate_sampled_reproducible_by_key():
+    params = make_params()
+    prompt = jnp.array([1, 2], jnp.int32)
+    kw = dict(max_returned_tokens=10, temperature=0.8, top_k=5, cache_dtype=jnp.float32)
+    t1, _ = engine.generate(params, CFG, prompt, jax.random.PRNGKey(7), **kw)
+    t2, _ = engine.generate(params, CFG, prompt, jax.random.PRNGKey(7), **kw)
+    t3, _ = engine.generate(params, CFG, prompt, jax.random.PRNGKey(8), **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t3))  # overwhelmingly likely
+
+
+def test_generate_eos_early_exit():
+    params = make_params()
+    prompt = jnp.array([1, 2, 3], jnp.int32)
+    # find what greedy generates first, then use it as the "eos"
+    toks, _ = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=12, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    first_gen = int(toks[3])
+    toks2, n2 = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=12, temperature=0.0, eos_id=first_gen,
+        cache_dtype=jnp.float32,
+    )
+    assert int(n2) == 4  # prompt + the eos token
+    assert int(toks2[3]) == first_gen
+
+
+def test_stream_matches_generate():
+    params = make_params()
+    prompt = jnp.array([4, 4, 8], jnp.int32)
+    toks, n = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=11, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    streamed = list(engine.generate_stream(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=11, temperature=0.0, cache_dtype=jnp.float32,
+    ))
+    np.testing.assert_array_equal(np.asarray(toks)[3:int(n)], np.asarray(streamed))
+
+
+def test_stream_stop_sequence():
+    params = make_params()
+    prompt = jnp.array([4, 4, 8], jnp.int32)
+    full = list(engine.generate_stream(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=11, temperature=0.0, cache_dtype=jnp.float32,
+    ))
+    assert len(full) >= 3
+    # stop on the 2-token sequence ending at position 2 of the generation
+    stop = (int(full[1]), int(full[2]))
+    stopped = list(engine.generate_stream(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=11, temperature=0.0, stop_tokens=(stop,),
+        cache_dtype=jnp.float32,
+    ))
+    assert stopped == [full[0]]
