@@ -45,13 +45,14 @@ def main() -> None:
     tok = jnp.argmax(logits[0, -1]).astype(jnp.int32)
     rng = jax.random.PRNGKey(0)
 
-    # warmup (compile + a few steps)
+    # warmup (compile + a few steps); int() forces a device->host fetch, the
+    # only reliable barrier on backends whose block_until_ready is lazy
     pos = 8
-    for _ in range(5):
+    for _ in range(8):
         rng, step_rng = jax.random.split(rng)
         tok, cache = decode_step(params, tok, cache, jnp.asarray(pos, jnp.int32), step_rng)
         pos += 1
-    tok.block_until_ready()
+    int(tok)
 
     n_steps = 128
     t0 = time.perf_counter()
@@ -59,7 +60,7 @@ def main() -> None:
         rng, step_rng = jax.random.split(rng)
         tok, cache = decode_step(params, tok, cache, jnp.asarray(pos, jnp.int32), step_rng)
         pos += 1
-    tok.block_until_ready()
+    int(tok)  # hard sync
     dt = time.perf_counter() - t0
     tok_s = n_steps / dt
 
