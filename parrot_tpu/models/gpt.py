@@ -173,6 +173,44 @@ def rope_qk(config: Config, q, k, cos, sin):
     return q, k
 
 
+def _qkv_with_lora(
+    p: Params, config: Config, x: jnp.ndarray, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Fused QKV projection plus optional per-projection LoRA deltas.
+
+    The reference scatters LoRA deltas into the fused output through a
+    ``lora_ind`` index buffer (``lit_gpt/lora.py:296-336``); here the deltas
+    are added in the natural [B, T, G, Q+2, H] grouped view, which XLA fuses
+    without any gather/scatter.
+    """
+    qkv = apply_linear(p["qkv"], x, rng=rng, dropout=getattr(config, "dropout", 0.0))
+    lora = p["qkv"].get("lora") if isinstance(p["qkv"], dict) else None
+    if not lora:
+        return qkv
+    B, T = x.shape[:2]
+    G, Q, H = config.n_query_groups, config.q_per_kv, config.head_size
+    scaling = _lora_scaling(config)
+    drop = getattr(config, "dropout", 0.0)
+    qkv = qkv.reshape(B, T, G, Q + 2, H)
+    for i, (name, width) in enumerate((("q", Q), ("k", 1), ("v", 1))):
+        if name not in lora:
+            continue
+        branch_rng = None if rng is None else jax.random.fold_in(rng, 100 + i)
+        xin = _lora_dropout(x, drop, branch_rng)
+        delta = (xin @ lora[name]["a"].astype(x.dtype)) @ lora[name]["b"].astype(x.dtype)
+        delta = (delta * scaling).reshape(B, T, G, width, H)
+        start = {"q": 0, "k": Q, "v": Q + 1}[name]
+        qkv = qkv.at[:, :, :, start : start + width].add(delta)
+    return qkv.reshape(B, T, G * (Q + 2) * H)
+
+
+def _lora_dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def attn_forward(
     p: Params,
     config: Config,
@@ -185,9 +223,11 @@ def attn_forward(
     mask: Optional[jnp.ndarray] = None,
     q_offset: int | jnp.ndarray = 0,
     window: Optional[int] = None,
+    layer_id: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
 ):
     B, T, C = x.shape
-    qkv = apply_linear(p["qkv"], x)
+    qkv = _qkv_with_lora(p, config, x, rng)
     q, k, v = split_qkv(config, qkv)
     q, k = rope_qk(config, q, k, cos, sin)
     scale = 1.0 / math.sqrt(config.head_size)
@@ -206,17 +246,67 @@ def attn_forward(
     else:
         y = attention(q, k, v, scale=scale, causal=True, q_offset=q_offset, window=window)
 
+    if "adapter" in p:
+        y = y + _adapter_attention(p, config, x, q, scale, layer_id)
+
     y = y.reshape(B, T, C)
-    return apply_linear(p["proj"], y), new_kv
+    return apply_linear(p["proj"], y, **_lora_kw(config, rng, 1)), new_kv
 
 
-def mlp_forward(p: Params, config: Config, x: jnp.ndarray) -> jnp.ndarray:
+def _adapter_attention(
+    p: Params, config: Config, x: jnp.ndarray, q: jnp.ndarray, scale: float,
+    layer_id: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """LLaMA-Adapter v1 prefix attention (``lit_gpt/adapter.py:234-254``):
+    the learnable prompt goes through the *same* fused QKV projection, its
+    keys are NOT roped, the roped queries attend over them with a full mask,
+    and the result is added scaled by a zero-init per-head gate.
+
+    Layers below ``adapter_start_layer`` are disabled with a trace-level
+    ``where`` on ``layer_id`` (the reference simply omits the parameters
+    there; with stacked-scan params the inactive slices stay at init and
+    receive zero gradient through the gate).
+    """
+    B, T = x.shape[:2]
+    aT = p["adapter"]["wte"].shape[0]
+    prefix = p["adapter"]["wte"].astype(x.dtype)[None]  # [1, aT, D]
+    aqkv = apply_linear(p["qkv"], prefix)
+    _, ak, av = split_qkv(config, aqkv)
+    ak = jnp.broadcast_to(ak, (B,) + ak.shape[1:])
+    av = jnp.broadcast_to(av, (B,) + av.shape[1:])
+    ay = attention(q, ak, av, scale=scale)  # full visibility over the prefix
+    gate = p["adapter"]["gate"].astype(x.dtype)  # [n_head]
+    ay = ay * gate[None, None, :, None]
+    if layer_id is not None:
+        active = layer_id >= getattr(config, "adapter_start_layer", 0)
+        ay = jnp.where(active, ay, jnp.zeros_like(ay))
+    return ay
+
+
+def _lora_scaling(config: Config) -> float:
+    r = getattr(config, "r", 0)
+    return (getattr(config, "alpha", 1) / r) if r else 1.0
+
+
+def _lora_kw(config: Config, rng: Optional[jax.Array], salt: int) -> dict:
+    return dict(
+        rng=None if rng is None else jax.random.fold_in(rng, salt),
+        dropout=getattr(config, "dropout", 0.0),
+        lora_scaling=_lora_scaling(config),
+    )
+
+
+def mlp_forward(
+    p: Params, config: Config, x: jnp.ndarray, rng: Optional[jax.Array] = None
+) -> jnp.ndarray:
     if config.mlp_class == "LLaMAMLP":
-        return apply_linear(
-            p["proj"], jax.nn.silu(apply_linear(p["fc_1"], x)) * apply_linear(p["fc_2"], x)
+        h = jax.nn.silu(apply_linear(p["fc_1"], x, **_lora_kw(config, rng, 2))) * apply_linear(
+            p["fc_2"], x, **_lora_kw(config, rng, 3)
         )
+        return apply_linear(p["proj"], h, **_lora_kw(config, rng, 4))
     if config.mlp_class == "GptNeoxMLP":
-        return apply_linear(p["proj"], jax.nn.gelu(apply_linear(p["fc"], x), approximate=False))
+        h = jax.nn.gelu(apply_linear(p["fc"], x, **_lora_kw(config, rng, 2)), approximate=False)
+        return apply_linear(p["proj"], h, **_lora_kw(config, rng, 4))
     raise ValueError(f"Unknown MLP class {config.mlp_class!r}")
 
 
@@ -232,22 +322,26 @@ def block_forward(
     mask=None,
     q_offset: int | jnp.ndarray = 0,
     window: Optional[int] = None,
+    layer_id: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
 ):
     """One transformer block (``lit_gpt/model.py:158-180``)."""
     n_1 = apply_norm(p["norm_1"], x, config.norm_class, config.norm_eps)
     h, new_kv = attn_forward(
         p["attn"], config, n_1, cos, sin, kv=kv, slot=slot, mask=mask,
-        q_offset=q_offset, window=window,
+        q_offset=q_offset, window=window, layer_id=layer_id, rng=rng,
     )
+    mlp_rng = None if rng is None else jax.random.fold_in(rng, 7)
     if config.parallel_residual:
         n_2 = n_1 if config.shared_attention_norm else apply_norm(
             p["norm_2"], x, config.norm_class, config.norm_eps
         )
-        x = x + h + mlp_forward(p["mlp"], config, n_2)
+        x = x + h + mlp_forward(p["mlp"], config, n_2, mlp_rng)
     else:
         x = x + h
         x = x + mlp_forward(
-            p["mlp"], config, apply_norm(p["norm_2"], x, config.norm_class, config.norm_eps)
+            p["mlp"], config,
+            apply_norm(p["norm_2"], x, config.norm_class, config.norm_eps), mlp_rng,
         )
     return x, new_kv
 
@@ -274,27 +368,42 @@ def forward(
     *,
     remat: bool = False,
     window: Optional[int] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    return_hidden: bool = False,
 ) -> jnp.ndarray:
-    """Full-context causal forward (training / eval). Returns logits [B, T, V].
+    """Full-context causal forward (training / eval). Returns logits [B, T, V]
+    (or the final hidden states when ``return_hidden`` — used for chunked
+    lm_head loss, ``lit_gpt/lora.py:561-564``).
 
     ``window=W`` restricts attention to a sliding window of the last ``W``
     positions — the full-context equivalent of rolling-KV-cache decoding.
+    ``dropout_rng`` enables PEFT branch dropout (training only).
     """
     T = idx.shape[1]
+    L = config.n_layer
     x = jnp.take(params["wte"]["weight"], idx, axis=0)
     cos, sin = _rope_tables(config, x.dtype)
     cos, sin = cos[:T], sin[:T]
 
-    def step(x, p_layer):
-        x, _ = block_forward(p_layer, config, x, cos, sin, window=window)
+    layer_ids = jnp.arange(L)
+    layer_rngs = None if dropout_rng is None else jax.random.split(dropout_rng, L)
+
+    def step(x, layer):
+        p_layer, layer_id, rng = layer if layer_rngs is not None else (*layer, None)
+        x, _ = block_forward(
+            p_layer, config, x, cos, sin, window=window, layer_id=layer_id, rng=rng
+        )
         return x, None
 
     if remat:
         step = jax.checkpoint(step)  # rematerialize each Block's activations
-    x, _ = lax.scan(step, x, params["blocks"])
+    xs = (params["blocks"], layer_ids) + ((layer_rngs,) if layer_rngs is not None else ())
+    x, _ = lax.scan(step, x, xs)
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
-    return apply_linear(params["lm_head"], x)
+    if return_hidden:
+        return x
+    return apply_linear(params["lm_head"], x, **_lora_kw(config, dropout_rng, 99))
 
 
 def forward_cached(
@@ -329,14 +438,17 @@ def forward_cached(
     slot = jnp.where(input_pos >= S, input_pos % S, input_pos)
 
     def step(x, layer):
-        p_layer, k_l, v_l = layer
+        p_layer, layer_id, k_l, v_l = layer
         x, new_kv = block_forward(
-            p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask
+            p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
+            layer_id=layer_id,
         )
         return x, new_kv
 
-    x, (new_k, new_v) = lax.scan(step, x, (params["blocks"], cache.k, cache.v))
+    x, (new_k, new_v) = lax.scan(
+        step, x, (params["blocks"], jnp.arange(config.n_layer), cache.k, cache.v)
+    )
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
-    logits = apply_linear(params["lm_head"], x)
+    logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
     return logits, KVCache(k=new_k, v=new_v)

@@ -142,6 +142,36 @@ def load_checkpoint(path: Path, as_jax: bool = True) -> dict:
     return unflatten_params(flat, meta, as_jax=as_jax)
 
 
+def filter_params(params: Any, predicate) -> dict:
+    """Keep only leaves whose dotted path satisfies ``predicate`` — the
+    counterpart of the reference's filtered ``fabric.save`` for PEFT deltas
+    (``finetune/lora.py:307-309``). Returns a (possibly partial) tree."""
+    flat, meta = flatten_params(params)
+    kept = {k: v for k, v in flat.items() if predicate(k.split(".__quant__.")[0])}
+    kept_meta = {k: v for k, v in meta.items() if any(f.startswith(k) for f in kept)}
+    return unflatten_params(kept, kept_meta)
+
+
+def merge_trees(base: dict, delta: dict) -> dict:
+    """Recursively overlay ``delta`` onto ``base`` (PEFT checkpoint loading:
+    base weights + filtered delta dict, ``generate/lora.py:108-110``)."""
+    out = dict(base)
+    for k, v in delta.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def mask_by_path(params: Any, predicate) -> Any:
+    """Bool pytree matching ``params``: predicate applied to each dotted
+    leaf path (drives PEFT trainable masks)."""
+    from parrot_tpu.parallel.sharding import _map_with_path
+
+    return _map_with_path(params, lambda path, leaf: predicate(path))
+
+
 def check_valid_checkpoint_dir(checkpoint_dir: Path) -> None:
     """Validate the checkpoint directory contract with a helpful error
     (mirrors ``lit_gpt/utils.py:228-259``)."""
