@@ -31,7 +31,7 @@ def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
         # rescale the [..., out] result — never materializes fp weights.
         y = jnp.dot(x, p.qw.astype(x.dtype))
         return (y.astype(jnp.float32) * p.scales.astype(jnp.float32)).astype(x.dtype)
-    if p.fmt in ("int4", "nf4"):
+    if p.fmt in ("int4", "nf4", "fp4"):
         if _on_tpu():
             from parrot_tpu.ops import pallas_quant
 

@@ -1,0 +1,203 @@
+"""Model-level quantization: mode switch + layer-streaming GPTQ calibration.
+
+``quantize_params`` is the functional replacement for the reference's
+``quantization(mode)`` context manager (``lit_gpt/utils.py:26-83``): instead
+of monkey-patching ``nn.Linear`` during construction, it rewrites the linear
+leaf-groups of an existing parameter tree into packed quantized formats.
+Modes mirror the reference exactly: ``bnb.int8``, ``bnb.nf4``, ``bnb.nf4-dq``,
+``bnb.fp4``, ``bnb.fp4-dq`` (all RTN weight-only) and ``gptq.int4`` (loads a
+calibrated checkpoint produced by :func:`quantize_model_gptq`).
+
+``quantize_model_gptq`` is the blockwise PTQ driver
+(``quantize/gptq.py:456-548``): one transformer block at a time, calibration
+activations flow through the already-quantized prefix of the network, each
+target linear's Hessian is accumulated from its actual inputs (with earlier
+targets in the same block already quantized), then GPTQ runs per linear.
+lm_head is quantized last from the final-norm outputs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tpu.config import Config
+from parrot_tpu.models import gpt
+from parrot_tpu.models.norms import apply_norm
+from parrot_tpu.ops.attention import attention
+from parrot_tpu.ops.linear import apply_linear
+from parrot_tpu.quantize import formats, gptq
+
+MODES = ("bnb.int8", "bnb.nf4", "bnb.nf4-dq", "bnb.fp4", "bnb.fp4-dq", "gptq.int4")
+
+
+def _rtn_fn(mode: str) -> Callable:
+    if mode == "bnb.int8":
+        return formats.quantize_int8
+    if mode in ("bnb.nf4", "bnb.nf4-dq"):
+        return lambda w, bias=None: formats.quantize_nf4(
+            w, double_quant=mode.endswith("-dq"), bias=bias
+        )
+    if mode in ("bnb.fp4", "bnb.fp4-dq"):
+        return lambda w, bias=None: formats.quantize_fp4(
+            w, double_quant=mode.endswith("-dq"), bias=bias
+        )
+    if mode == "gptq.int4":
+        return lambda w, bias=None: formats.quantize_int4(w, group_size=-1, bias=bias)
+    raise ValueError(f"Unknown quantization mode {mode!r}; choose from {MODES}")
+
+
+def quantize_params(params: dict, config: Config, mode: str) -> dict:
+    """Round-to-nearest weight-only quantization of every linear in the tree
+    (per-layer via vmap over the stacked axis). ``gptq.int4`` here is the RTN
+    int4 format — run :func:`quantize_model_gptq` for calibrated GPTQ."""
+    qfn = _rtn_fn(mode)
+
+    def q_stacked(group: dict):
+        return jax.vmap(lambda w, b: qfn(w, bias=b))(group["w"], group.get("b")) \
+            if "b" in group else jax.vmap(lambda w: qfn(w))(group["w"])
+
+    def q_flat(group: dict):
+        return qfn(group["w"], bias=group.get("b"))
+
+    params = jax.tree.map(lambda x: x, params)
+    attn = params["blocks"]["attn"]
+    attn["qkv"] = q_stacked(attn["qkv"])
+    attn["proj"] = q_stacked(attn["proj"])
+    params["blocks"]["mlp"] = {k: q_stacked(v) for k, v in params["blocks"]["mlp"].items()}
+    params["lm_head"] = q_flat(params["lm_head"])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Blockwise GPTQ calibration
+# ---------------------------------------------------------------------------
+
+
+def _mlp_targets(config: Config) -> list[str]:
+    if config.mlp_class == "LLaMAMLP":
+        return ["mlp.fc_1", "mlp.fc_2", "mlp.proj"]
+    return ["mlp.fc", "mlp.proj"]
+
+
+def _capture_input(p: dict, config: Config, x, cos, sin, target: str):
+    """Input activations of ``target`` inside one block, given the block's
+    current (possibly partially quantized) params — the functional analogue of
+    the reference's forward hooks (``gptq.py:491-507``)."""
+    import math as _math
+
+    n1 = apply_norm(p["norm_1"], x, config.norm_class, config.norm_eps)
+    if target == "attn.qkv":
+        return n1
+    B, T, C = x.shape
+    qkv = apply_linear(p["attn"]["qkv"], n1)
+    q, k, v = gpt.split_qkv(config, qkv)
+    q, k = gpt.rope_qk(config, q, k, cos, sin)
+    y = attention(q, k, v, scale=1.0 / _math.sqrt(config.head_size), causal=True)
+    y = y.reshape(B, T, C)
+    if target == "attn.proj":
+        return y
+    h = apply_linear(p["attn"]["proj"], y)
+    if config.parallel_residual:
+        n2 = n1 if config.shared_attention_norm else apply_norm(
+            p["norm_2"], x, config.norm_class, config.norm_eps
+        )
+    else:
+        n2 = apply_norm(p["norm_2"], x + h, config.norm_class, config.norm_eps)
+    if target in ("mlp.fc", "mlp.fc_1", "mlp.fc_2"):
+        return n2
+    if target == "mlp.proj":
+        if config.mlp_class == "LLaMAMLP":
+            return jax.nn.silu(apply_linear(p["mlp"]["fc_1"], n2)) * apply_linear(
+                p["mlp"]["fc_2"], n2
+            )
+        return jax.nn.gelu(apply_linear(p["mlp"]["fc"], n2), approximate=False)
+    raise ValueError(f"unknown target {target!r}")
+
+
+def _get(p: dict, dotted: str):
+    node = p
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+def _set(p: dict, dotted: str, value) -> None:
+    parts = dotted.split(".")
+    node = p
+    for part in parts[:-1]:
+        node = node[part]
+    node[parts[-1]] = value
+
+
+def quantize_model_gptq(
+    params: dict,
+    config: Config,
+    calib_tokens: jnp.ndarray,  # [N, T] int32
+    *,
+    bits: int = 4,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    groupsize: int = -1,
+    actorder: bool = False,
+    batch_size: int = 8,
+    log: Optional[Callable[[str], None]] = print,
+) -> tuple[dict, dict]:
+    """Blockwise GPTQ over the whole model (``gptq.py:456-548``).
+
+    Returns ``(quantized_params, stats)`` where stats maps layer/target to
+    quantization error.
+    """
+    N, T = calib_tokens.shape
+    dtype = params["lm_head"]["w"].dtype
+    cos_t, sin_t = gpt._rope_tables(config, jnp.dtype(dtype))
+    cos, sin = cos_t[:T], sin_t[:T]
+
+    # embed all calibration samples (gptq.py:467-471)
+    x = jnp.take(params["wte"]["weight"], calib_tokens, axis=0)
+
+    kwargs = dict(bits=bits, blocksize=blocksize, percdamp=percdamp,
+                  groupsize=groupsize, actorder=actorder)
+    targets = ["attn.qkv", "attn.proj"] + _mlp_targets(config)
+    stats: dict[str, float] = {}
+
+    capture_jit = jax.jit(_capture_input, static_argnames=("config", "target"))
+    block_jit = jax.jit(
+        lambda p, x: gpt.block_forward(p, config, x, cos, sin)[0]
+    )
+
+    per_layer: list[dict] = []
+    for layer in range(config.n_layer):
+        t0 = time.time()
+        p_l = jax.tree.map(lambda a: a[layer], params["blocks"])
+        for target in targets:
+            group = _get(p_l, target)
+            H, n = gptq.init_hessian(group["w"].shape[0])
+            for s in range(0, N, batch_size):
+                inp = capture_jit(p_l, config, x[s : s + batch_size], cos, sin, target)
+                H, n = gptq.accumulate_hessian(H, n, inp)
+            qgroup, err = gptq.gptq_quantize_linear(group, H, **kwargs)
+            _set(p_l, target, qgroup)
+            stats[f"layer{layer}.{target}"] = err
+        # replay the fully-quantized block to produce the next layer's inputs
+        outs = [block_jit(p_l, x[s : s + batch_size]) for s in range(0, N, batch_size)]
+        x = jnp.concatenate(outs, axis=0)
+        per_layer.append(p_l)
+        if log:
+            log(f"GPTQ layer {layer + 1}/{config.n_layer} done in {time.time() - t0:.1f}s")
+
+    new_blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    # final norm, then lm_head from its true inputs (gptq.py:534-548)
+    x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
+    H, n = gptq.init_hessian(config.n_embd)
+    for s in range(0, N, batch_size):
+        H, n = gptq.accumulate_hessian(H, n, x[s : s + batch_size])
+    q_head, err = gptq.gptq_quantize_linear(params["lm_head"], H, **kwargs)
+    stats["lm_head"] = err
+
+    new_params = {**params, "blocks": new_blocks, "lm_head": q_head}
+    return new_params, stats

@@ -46,6 +46,14 @@ NF4_CODE = np.array(
     dtype=np.float32,
 )
 
+# FP4 (e2m1, sign-magnitude): magnitudes {0, .5, 1, 1.5, 2, 3, 4, 6}/6, bit 3
+# is the sign — the bitsandbytes Linear4bit "fp4" data type
+# (``quantize/bnb.py:62-75``).
+_FP4_MAG = np.array([0.0, 1 / 12, 1 / 6, 0.25, 1 / 3, 0.5, 2 / 3, 1.0], np.float32)
+FP4_CODE = np.concatenate([_FP4_MAG, -_FP4_MAG]).astype(np.float32)
+
+_CODEBOOKS = {"nf4": NF4_CODE, "fp4": FP4_CODE}
+
 
 @struct.dataclass
 class QuantizedLinear:
@@ -141,15 +149,36 @@ def quantize_nf4(
     double_quant: bool = False,
     bias: Optional[jnp.ndarray] = None,
 ) -> QuantizedLinear:
-    """NF4 blockwise quantization. Blocks run down the K axis (column-major
-    per output channel) so dequant broadcasts cleanly in the matmul kernel."""
+    return quantize_codebook(w, "nf4", block_size, double_quant, bias)
+
+
+def quantize_fp4(
+    w: jnp.ndarray,
+    block_size: int = 64,
+    double_quant: bool = False,
+    bias: Optional[jnp.ndarray] = None,
+) -> QuantizedLinear:
+    return quantize_codebook(w, "fp4", block_size, double_quant, bias)
+
+
+def quantize_codebook(
+    w: jnp.ndarray,
+    fmt: str,
+    block_size: int = 64,
+    double_quant: bool = False,
+    bias: Optional[jnp.ndarray] = None,
+) -> QuantizedLinear:
+    """NF4/FP4 blockwise quantization. Blocks run over the column-major
+    flattened tensor (one output channel's weights are contiguous), matching
+    bitsandbytes' flat blocking while keeping dequant broadcastable in the
+    matmul kernel."""
     K, N = w.shape
-    assert K % block_size == 0
-    wf = w.astype(jnp.float32).T.reshape(N * (K // block_size), block_size)
+    assert (K * N) % block_size == 0, (K, N, block_size)
+    wf = w.astype(jnp.float32).T.reshape(-1, block_size)  # [n_blocks, bs]
     absmax = jnp.max(jnp.abs(wf), axis=1)  # [n_blocks]
     absmax_safe = jnp.where(absmax == 0, 1.0, absmax)
     normalized = wf / absmax_safe[:, None]  # in [-1, 1]
-    code = jnp.asarray(NF4_CODE)
+    code = jnp.asarray(_CODEBOOKS[fmt])
     # nearest codebook entry
     dist = jnp.abs(normalized[..., None] - code[None, None, :])
     q = jnp.argmin(dist, axis=-1).astype(jnp.uint8)  # [n_blocks, block]
@@ -165,7 +194,7 @@ def quantize_nf4(
         scales = absmax.astype(jnp.float32)
     return QuantizedLinear(
         qw=pack_nibbles(q), scales=scales, scales2=scales2, b=bias,
-        fmt="nf4", group_size=block_size, in_features=K, out_features=N,
+        fmt=fmt, group_size=block_size, in_features=K, out_features=N,
     )
 
 
@@ -184,15 +213,15 @@ def dequantize(p: QuantizedLinear, dtype: jnp.dtype = jnp.float32) -> jnp.ndarra
         q = unpack_nibbles(p.qw).astype(jnp.float32).reshape(K // gs, gs, N)
         w = (q - p.zeros[:, None].astype(jnp.float32)) * p.scales[:, None].astype(jnp.float32)
         return w.reshape(K, N).astype(dtype)
-    if p.fmt == "nf4":
+    if p.fmt in ("nf4", "fp4"):
         K, N = p.in_features, p.out_features
         bs = p.group_size
         q = unpack_nibbles(p.qw)  # [K, N] uint8
-        vals = jnp.take(jnp.asarray(NF4_CODE), q.astype(jnp.int32))
+        vals = jnp.take(jnp.asarray(_CODEBOOKS[p.fmt]), q.astype(jnp.int32))
         absmax = p.scales.astype(jnp.float32)
         if p.scales2 is not None:
             absmax = absmax * p.scales2
-        vals = vals.T.reshape(N * (K // bs), bs) * absmax[:, None]
+        vals = vals.T.reshape(-1, bs) * absmax[:, None]
         return vals.reshape(N, K).T.astype(dtype)
     raise ValueError(f"Unknown quantized format {p.fmt!r}")
 

@@ -1,0 +1,228 @@
+"""GPTQ (Frantar et al., arXiv:2210.17323) in JAX.
+
+Faithful reimplementation of the reference's ``GPTQQuantizer``
+(``quantize/gptq.py:267-445``) for the functional parameter layout:
+
+- Hessian accumulation from calibration activations with the same running
+  renormalization (``collect_input_stats``, ``gptq.py:349-363``);
+- damped Cholesky inverse chain ``H -> chol -> inv -> upper-chol``
+  (``gptq.py:385-391``);
+- per-block greedy column quantization with error feedback
+  (``gptq.py:393-425``) — the intrinsically serial inner loop runs as a
+  ``lax.fori_loop`` over the block's columns with masked tail updates, while
+  the outer block loop is a static Python loop so per-group scale/zero
+  recomputation happens at trace-time-known boundaries;
+- optional ``actorder`` permutation (``gptq.py:377-380``), incompatible with
+  grouped quantization exactly as in the reference (``:308-310``).
+
+All math in float32 with HIGHEST matmul precision (the Cholesky inverse is
+precision-sensitive; TPU fp32 matmuls default to bf16 passes otherwise).
+
+Conventions: weights here are ``[in_features, out_features]``; the GPTQ math
+runs on the transposed ``[out, in]`` view so "columns" are input features, as
+in the paper and the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from parrot_tpu.quantize.formats import QuantizedLinear, pack_nibbles
+
+HIGH = lax.Precision.HIGHEST
+
+
+def init_hessian(in_features: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return jnp.zeros((in_features, in_features), jnp.float32), jnp.zeros((), jnp.float32)
+
+
+@jax.jit
+def accumulate_hessian(
+    H: jnp.ndarray, nsamples: jnp.ndarray, x: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Running ``H = 2/n * sum_i x_i x_i^T`` over calibration activations.
+
+    ``x``: [B, T, in] (or [tokens, in]); the sample count increments by the
+    batch size, matching ``collect_input_stats`` (``gptq.py:349-363``).
+    """
+    batch = x.shape[0] if x.ndim == 3 else 1
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    new_n = nsamples + batch
+    H = H * (nsamples / new_n)
+    xf = xf * jnp.sqrt(2.0 / new_n)
+    return H + jnp.dot(xf.T, xf, precision=HIGH), new_n
+
+
+def find_params_weight(x: jnp.ndarray, maxq: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row asymmetric min/max scale+zero (``find_params_weight``,
+    ``gptq.py:317-347``, perchannel asym path). ``x``: [rows, cols]."""
+    xmin = jnp.minimum(x.min(axis=1), 0.0)
+    xmax = jnp.maximum(x.max(axis=1), 0.0)
+    degenerate = (xmin == 0) & (xmax == 0)
+    xmin = jnp.where(degenerate, -1.0, xmin)
+    xmax = jnp.where(degenerate, 1.0, xmax)
+    scale = (xmax - xmin) / maxq
+    zero = jnp.round(-xmin / scale)
+    return scale, zero
+
+
+def _quant_col(w, scale, zero, maxq):
+    q = jnp.clip(jnp.round(w / scale) + zero, 0, maxq)
+    return scale * (q - zero)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "blocksize", "groupsize", "actorder", "percdamp")
+)
+def gptq_quantize_matrix(
+    w: jnp.ndarray,  # [in, out]
+    H: jnp.ndarray,  # [in, in]
+    *,
+    bits: int = 4,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    groupsize: int = -1,
+    actorder: bool = False,
+):
+    """Run GPTQ on one weight matrix.
+
+    Returns ``(q_codes [in, out] uint8, scales [n_groups, out],
+    zeros [n_groups, out], error)`` in the layout
+    :class:`~parrot_tpu.quantize.formats.QuantizedLinear` packs.
+    """
+    if actorder and groupsize != -1:
+        raise ValueError("actorder is incompatible with grouped quantization")
+    maxq = 2**bits - 1
+    K, N = w.shape
+    W = w.astype(jnp.float32).T  # [out, in]: GPTQ operates over input columns
+
+    dead = jnp.diag(H) == 0
+    H = jnp.where(jnp.eye(K, dtype=bool) & dead[None, :], 1.0, H)
+    W = jnp.where(dead[None, :], 0.0, W)
+
+    if actorder:
+        perm = jnp.argsort(-jnp.diag(H))
+        W = W[:, perm]
+        H = H[perm][:, perm]
+
+    damp = percdamp * jnp.mean(jnp.diag(H))
+    H = H + jnp.eye(K) * damp
+    # H -> cholesky -> inverse -> upper cholesky (gptq.py:388-391)
+    L = jnp.linalg.cholesky(H)
+    Hinv_full = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K))
+    Hinv = jnp.linalg.cholesky(Hinv_full).T  # upper: Hinv_full = Hinv^T @ Hinv
+
+    gs = K if groupsize == -1 else groupsize
+    # align block boundaries with group boundaries so scale recomputation
+    # happens at static positions
+    bs = math.gcd(blocksize, gs) if groupsize != -1 else blocksize
+    n_groups = K // gs if groupsize != -1 else 1
+
+    scales = jnp.zeros((n_groups, N), jnp.float32)
+    zeros = jnp.zeros((n_groups, N), jnp.float32)
+    if groupsize == -1:
+        s0, z0 = find_params_weight(W, maxq)  # [out]
+        scales = s0[None, :]
+        zeros = z0[None, :]
+
+    Q = jnp.zeros_like(W)
+    total_loss = jnp.float32(0.0)
+    scale_col = scales[0]  # [out] current group's params
+    zero_col = zeros[0]
+
+    for i1 in range(0, K, bs):
+        i2 = min(i1 + bs, K)
+        count = i2 - i1
+        if groupsize != -1 and i1 % gs == 0:
+            g = i1 // gs
+            s_g, z_g = find_params_weight(lax.dynamic_slice(W, (0, i1), (N, gs)), maxq)
+            scales = scales.at[g].set(s_g)
+            zeros = zeros.at[g].set(z_g)
+            scale_col, zero_col = s_g, z_g
+
+        W1 = lax.dynamic_slice(W, (0, i1), (N, count))
+        Hinv1 = lax.dynamic_slice(Hinv, (i1, i1), (count, count))
+
+        def col_step(i, carry):
+            W1, Q1, Err1, loss = carry
+            wcol = lax.dynamic_index_in_dim(W1, i, axis=1, keepdims=False)  # [out]
+            d = Hinv1[i, i]
+            q = _quant_col(wcol, scale_col, zero_col, maxq)
+            Q1 = lax.dynamic_update_index_in_dim(Q1, q, i, axis=1)
+            err = (wcol - q) / d
+            loss = loss + jnp.sum((wcol - q) ** 2 / d**2) / 2
+            # W1[:, i+1:] -= err ⊗ Hinv1[i, i+1:]  (masked full-width update)
+            tail = jnp.arange(count) > i
+            upd = jnp.outer(err, jnp.where(tail, Hinv1[i], 0.0))
+            W1 = W1 - upd
+            Err1 = lax.dynamic_update_index_in_dim(Err1, err, i, axis=1)
+            return W1, Q1, Err1, loss
+
+        W1, Q1, Err1, total_loss = lax.fori_loop(
+            0, count,
+            col_step,
+            (W1, jnp.zeros_like(W1), jnp.zeros_like(W1), total_loss),
+        )
+        Q = lax.dynamic_update_slice(Q, Q1, (0, i1))
+        if i2 < K:
+            # propagate block error to all remaining columns (gptq.py:425)
+            Hrow = lax.dynamic_slice(Hinv, (i1, i2), (count, K - i2))
+            Wrest = lax.dynamic_slice(W, (0, i2), (N, K - i2))
+            Wrest = Wrest - jnp.dot(Err1, Hrow, precision=HIGH)
+            W = lax.dynamic_update_slice(W, Wrest, (0, i2))
+
+    if actorder:
+        invperm = jnp.argsort(perm)
+        Q = Q[:, invperm]
+
+    # Q holds dequantized values; recover integer codes for packing
+    codes = jnp.round(Q / scale_col[:, None] + zero_col[:, None]) if groupsize == -1 else None
+    if groupsize == -1:
+        codes = jnp.clip(codes, 0, maxq)
+    else:
+        Qg = Q.reshape(N, K // gs, gs)
+        codes = jnp.clip(
+            jnp.round(Qg / scales.T[:, :, None] + zeros.T[:, :, None]), 0, maxq
+        ).reshape(N, K)
+    codes = codes.T.astype(jnp.uint8)  # [in, out]
+    return codes, scales, zeros, total_loss
+
+
+def gptq_quantize_linear(
+    group: dict,
+    H: jnp.ndarray,
+    *,
+    bits: int = 4,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    groupsize: int = -1,
+    actorder: bool = False,
+) -> tuple[QuantizedLinear, float]:
+    """Quantize one dense linear param group ``{"w": [in, out], "b"?}``."""
+    w = group["w"]
+    codes, scales, zeros, err = gptq_quantize_matrix(
+        w, H, bits=bits, blocksize=blocksize, percdamp=percdamp,
+        groupsize=groupsize, actorder=actorder,
+    )
+    if bits != 4:
+        raise NotImplementedError("packing currently supports 4-bit GPTQ")
+    return (
+        QuantizedLinear(
+            qw=pack_nibbles(codes),
+            scales=scales,
+            zeros=zeros,
+            b=group.get("b"),
+            fmt="int4",
+            group_size=groupsize,
+            in_features=w.shape[0],
+            out_features=w.shape[1],
+        ),
+        float(err),
+    )
