@@ -29,8 +29,12 @@ def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
         # scales are per-output-channel, so they commute past the contraction:
         # contract against raw int8 weights (cast to activation dtype) and
         # rescale the [..., out] result — never materializes fp weights.
+        Kp = p.qw.shape[0]
+        if x.shape[-1] != Kp:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kp - x.shape[-1])])
         y = jnp.dot(x, p.qw.astype(x.dtype))
-        return (y.astype(jnp.float32) * p.scales.astype(jnp.float32)).astype(x.dtype)
+        y = (y.astype(jnp.float32) * p.scales.astype(jnp.float32)).astype(x.dtype)
+        return y[..., : p.out_features]
     if p.fmt in ("int4", "nf4", "fp4"):
         if _on_tpu():
             from parrot_tpu.ops import pallas_quant

@@ -63,8 +63,9 @@ class QuantizedLinear:
     axes):
       qw      packed quantized weights. int8: ``[in, out]`` int8.
               int4/nf4: ``[in//2, out]`` uint8 (low nibble = even k).
-      scales  int8: ``[out]``. int4: ``[n_groups, out]``. nf4: per-block absmax
-              ``[in*out/block]`` (int8 when double-quantized, else fp16/32).
+      scales  int8: ``[out_pad]``. int4: ``[n_groups, out_pad]``. nf4/fp4:
+              per-block absmax ``[in_pad/block, out_pad]`` (int8 when
+              double-quantized, else fp32).
       zeros   int4 only: ``[n_groups, out]`` asymmetric zero points (float).
       scales2 nf4-dq only: second-level fp32 scale for the int8 absmax blocks.
       b       optional bias ``[out]``.
@@ -90,33 +91,74 @@ class QuantizedLinear:
 # Packing / quantization (host-side, numpy-friendly but jittable)
 # ---------------------------------------------------------------------------
 
+# Storage alignment baked in at quantization time: K to the packing block,
+# N to the TPU lane width. Padding weights once here is what lets the Pallas
+# kernels assume full tiles — the padded region quantizes so that it
+# dequantizes to exactly 0 and contributes nothing to the matmul; logical
+# shapes live in in_features/out_features and outputs are sliced at use.
+K_ALIGN = 256  # == PACK_BLOCK (defined below)
+N_ALIGN = 128
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_kn(w: jnp.ndarray, k_align: int = K_ALIGN, n_align: int = N_ALIGN) -> jnp.ndarray:
+    K, N = w.shape
+    return jnp.pad(w, ((0, _round_up(K, k_align) - K), (0, _round_up(N, n_align) - N)))
+
 
 def quantize_int8(w: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> QuantizedLinear:
     """Absmax per-output-channel symmetric int8. ``w``: [in, out]."""
+    K, N = w.shape
+    w = _pad_kn(w)
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
     scales = jnp.where(absmax == 0, 1.0, absmax / 127.0)
     qw = jnp.clip(jnp.round(w.astype(jnp.float32) / scales), -127, 127).astype(jnp.int8)
     return QuantizedLinear(
-        qw=qw, scales=scales, b=bias, fmt="int8",
-        in_features=w.shape[0], out_features=w.shape[1],
+        qw=qw, scales=scales, b=bias, fmt="int8", in_features=K, out_features=N,
     )
 
 
+# Unpacked rows per packing block. Within each block of 256 K-rows, the low
+# nibbles hold rows [0, 128) and the high nibbles rows [128, 256): unpacking a
+# block is a pure sublane concatenation (free layout on the TPU VPU), unlike
+# the reference Triton kernel's per-row interleave ``(b12 >> ((k%2)*4)) & 0xF``
+# (``quantize/gptq.py:139``) which would be a sublane shuffle. Contiguous
+# packed tiles unpack to contiguous K-tiles, so the Pallas matmul kernel
+# streams the packed weight linearly.
+PACK_BLOCK = 256
+
+
+def _pack_block_rows(K: int) -> int:
+    if K % PACK_BLOCK == 0:
+        return PACK_BLOCK
+    assert K % 2 == 0, "K dimension must be even to pack int4"
+    return K
+
+
 def pack_nibbles(q: jnp.ndarray) -> jnp.ndarray:
-    """Pack uint8 values in [0, 15] pairwise along axis 0: out[k] = q[2k] | q[2k+1]<<4."""
-    assert q.shape[0] % 2 == 0, "K dimension must be even to pack int4"
-    lo = q[0::2]
-    hi = q[1::2]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    """Pack uint8 values in [0, 15] along axis 0 (blocked split-half layout).
+    ``[K, ...] -> [K//2, ...]``."""
+    K = q.shape[0]
+    block = _pack_block_rows(K)
+    blocked = q.reshape((K // block, block) + q.shape[1:])
+    lo = blocked[:, : block // 2]
+    hi = blocked[:, block // 2 :]
+    packed = lo | (hi << 4)
+    return packed.reshape((K // 2,) + q.shape[1:]).astype(jnp.uint8)
 
 
 def unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`pack_nibbles`: [K//2, ...] uint8 -> [K, ...] uint8."""
-    lo = packed & 0xF
-    hi = (packed >> 4) & 0xF
-    K2 = packed.shape[0]
-    out = jnp.stack([lo, hi], axis=1)  # [K//2, 2, ...]
-    return out.reshape((K2 * 2,) + packed.shape[1:])
+    K = packed.shape[0] * 2
+    block = _pack_block_rows(K)
+    blocked = packed.reshape((K // block, block // 2) + packed.shape[1:])
+    lo = blocked & 0xF
+    hi = (blocked >> 4) & 0xF
+    out = jnp.concatenate([lo, hi], axis=1)
+    return out.reshape((K,) + packed.shape[1:])
 
 
 def quantize_int4(
@@ -128,15 +170,18 @@ def quantize_int4(
     (``quantize/gptq.py:317-347``): scale = (max-min)/15, zero = -min/scale.
     """
     K, N = w.shape
-    gs = K if group_size == -1 else group_size
-    assert K % gs == 0
-    wf = w.astype(jnp.float32).reshape(K // gs, gs, N)
+    wp = _pad_kn(w) if (group_size == -1 or _round_up(K, K_ALIGN) % group_size == 0) \
+        else _pad_kn(w, k_align=2)
+    Kp, Np = wp.shape
+    gs = Kp if group_size == -1 else group_size
+    assert Kp % gs == 0, (Kp, gs)
+    wf = wp.astype(jnp.float32).reshape(Kp // gs, gs, Np)
     wmax = jnp.maximum(jnp.max(wf, axis=1), 0.0)
     wmin = jnp.minimum(jnp.min(wf, axis=1), 0.0)
-    scales = jnp.where(wmax == wmin, 1.0, (wmax - wmin) / 15.0)  # [n_groups, N]
-    zeros = jnp.round(-wmin / scales)  # [n_groups, N], in [0, 15]
+    scales = jnp.where(wmax == wmin, 1.0, (wmax - wmin) / 15.0)  # [n_groups, Np]
+    zeros = jnp.round(-wmin / scales)  # [n_groups, Np], in [0, 15]
     q = jnp.clip(jnp.round(wf / scales[:, None]) + zeros[:, None], 0, 15)
-    q = q.reshape(K, N).astype(jnp.uint8)
+    q = q.reshape(Kp, Np).astype(jnp.uint8)
     return QuantizedLinear(
         qw=pack_nibbles(q), scales=scales, zeros=zeros, b=bias,
         fmt="int4", group_size=group_size, in_features=K, out_features=N,
@@ -173,16 +218,20 @@ def quantize_codebook(
     bitsandbytes' flat blocking while keeping dequant broadcastable in the
     matmul kernel."""
     K, N = w.shape
-    assert (K * N) % block_size == 0, (K, N, block_size)
-    wf = w.astype(jnp.float32).T.reshape(-1, block_size)  # [n_blocks, bs]
-    absmax = jnp.max(jnp.abs(wf), axis=1)  # [n_blocks]
+    wp = _pad_kn(w)
+    Kp, Np = wp.shape
+    assert Kp % block_size == 0, (Kp, block_size)
+    # blocks run down each column; absmax stored [Kp/bs, Np] so the matmul
+    # kernel's K-tile picks up its scale rows with a plain block index
+    wf = wp.astype(jnp.float32).reshape(Kp // block_size, block_size, Np)
+    absmax = jnp.max(jnp.abs(wf), axis=1)  # [Kp/bs, Np]
     absmax_safe = jnp.where(absmax == 0, 1.0, absmax)
-    normalized = wf / absmax_safe[:, None]  # in [-1, 1]
+    normalized = wf / absmax_safe[:, None, :]  # in [-1, 1]
     code = jnp.asarray(_CODEBOOKS[fmt])
     # nearest codebook entry
-    dist = jnp.abs(normalized[..., None] - code[None, None, :])
-    q = jnp.argmin(dist, axis=-1).astype(jnp.uint8)  # [n_blocks, block]
-    q = q.reshape(N, K).T  # back to [K, N]
+    dist = jnp.abs(normalized[..., None] - code[None, None, None, :])
+    q = jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+    q = q.reshape(Kp, Np)
     scales2 = None
     if double_quant:
         # store absmax as int8 against a single fp32 second-level scale
@@ -204,25 +253,28 @@ def quantize_codebook(
 
 
 def dequantize(p: QuantizedLinear, dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
-    """Materialize the full-precision weight ``[in, out]``."""
+    """Materialize the full-precision weight at its *logical* shape
+    ``[in_features, out_features]`` (storage padding sliced away)."""
+    K, N = p.in_features, p.out_features
     if p.fmt == "int8":
-        return (p.qw.astype(jnp.float32) * p.scales[None, :].astype(jnp.float32)).astype(dtype)
+        w = p.qw.astype(jnp.float32) * p.scales[None, :].astype(jnp.float32)
+        return w[:K, :N].astype(dtype)
     if p.fmt == "int4":
-        K, N = p.in_features, p.out_features
-        gs = K if p.group_size == -1 else p.group_size
-        q = unpack_nibbles(p.qw).astype(jnp.float32).reshape(K // gs, gs, N)
+        Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
+        gs = Kp if p.group_size == -1 else p.group_size
+        q = unpack_nibbles(p.qw).astype(jnp.float32).reshape(Kp // gs, gs, Np)
         w = (q - p.zeros[:, None].astype(jnp.float32)) * p.scales[:, None].astype(jnp.float32)
-        return w.reshape(K, N).astype(dtype)
+        return w.reshape(Kp, Np)[:K, :N].astype(dtype)
     if p.fmt in ("nf4", "fp4"):
-        K, N = p.in_features, p.out_features
+        Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
         bs = p.group_size
-        q = unpack_nibbles(p.qw)  # [K, N] uint8
+        q = unpack_nibbles(p.qw)  # [Kp, Np] uint8
         vals = jnp.take(jnp.asarray(_CODEBOOKS[p.fmt]), q.astype(jnp.int32))
-        absmax = p.scales.astype(jnp.float32)
+        absmax = p.scales.astype(jnp.float32)  # [Kp/bs, Np]
         if p.scales2 is not None:
             absmax = absmax * p.scales2
-        vals = vals.T.reshape(-1, bs) * absmax[:, None]
-        return vals.reshape(N, K).T.astype(dtype)
+        vals = vals.reshape(Kp // bs, bs, Np) * absmax[:, None, :]
+        return vals.reshape(Kp, Np)[:K, :N].astype(dtype)
     raise ValueError(f"Unknown quantized format {p.fmt!r}")
 
 

@@ -213,6 +213,7 @@ def gptq_quantize_linear(
     )
     if bits != 4:
         raise NotImplementedError("packing currently supports 4-bit GPTQ")
+    codes, scales, zeros = pad_int4_fields(codes, scales, zeros, groupsize)
     return (
         QuantizedLinear(
             qw=pack_nibbles(codes),
@@ -226,3 +227,35 @@ def gptq_quantize_linear(
         ),
         float(err),
     )
+
+
+def pad_int4_fields(codes, scales, zeros, groupsize):
+    """Pad int4 codes/scales/zeros to storage alignment so the packed tensor
+    matches the tile-aligned layout of :func:`formats.quantize_int4`. Padded
+    rows/cols dequantize to exactly 0."""
+    from parrot_tpu.quantize.formats import K_ALIGN, N_ALIGN, _round_up
+
+    K, N = codes.shape
+    Kp, Np = _round_up(K, K_ALIGN), _round_up(N, N_ALIGN)
+    if groupsize != -1 and Kp % groupsize != 0:
+        Kp = _round_up(K, 2)  # unalignable group size: minimal (pack) padding
+    if (Kp, Np) == (K, N):
+        return codes, scales, zeros
+    # N padding: codes 0 / zeros 0 -> (0-0)*s == 0 for any scale
+    scales = jnp.pad(scales, ((0, 0), (0, Np - N)), constant_values=1.0)
+    zeros = jnp.pad(zeros, ((0, 0), (0, Np - N)))
+    codes = jnp.pad(codes, ((0, 0), (0, Np - N)))
+    if Kp != K:
+        if groupsize == -1:
+            # padded rows extend the single group: code == zero-point -> 0
+            pad_rows = jnp.broadcast_to(
+                jnp.round(zeros[0]).astype(codes.dtype)[None, :], (Kp - K, Np)
+            )
+            codes = jnp.concatenate([codes, pad_rows], axis=0)
+        else:
+            # padded rows form whole new groups with zero-point 0
+            codes = jnp.pad(codes, ((0, Kp - K), (0, 0)))
+            extra = (Kp - K) // groupsize
+            scales = jnp.pad(scales, ((0, extra), (0, 0)), constant_values=1.0)
+            zeros = jnp.pad(zeros, ((0, extra), (0, 0)))
+    return codes, scales, zeros

@@ -16,10 +16,13 @@ def test_identity_hessian_reduces_to_rtn():
     H = jnp.eye(64)
     codes, scales, zeros, err = gptq.gptq_quantize_matrix(w, H, blocksize=16)
     rtn = formats.quantize_int4(w, group_size=-1)
+    K, N = w.shape
     np.testing.assert_array_equal(
-        np.asarray(codes), np.asarray(formats.unpack_nibbles(rtn.qw))
+        np.asarray(codes), np.asarray(formats.unpack_nibbles(rtn.qw))[:K, :N]
     )
-    np.testing.assert_allclose(np.asarray(scales[0]), np.asarray(rtn.scales[0]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(scales[0]), np.asarray(rtn.scales[0])[:N], rtol=1e-6
+    )
     assert float(err) > 0
 
 

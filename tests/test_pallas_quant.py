@@ -1,0 +1,68 @@
+"""Pallas dequant-matmul kernels vs the XLA dequantize-then-dot oracle,
+run in interpreter mode on CPU (the kernels themselves are exercised on real
+TPU by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.ops import pallas_quant
+from parrot_tpu.quantize import formats
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pallas_quant, "_INTERPRET", True)
+
+
+def mk_x(m, k, seed=0, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(seed), (m, k), dtype) * 0.5
+
+
+@pytest.mark.parametrize("m", [1, 4])
+def test_int8_kernel(m):
+    K, N = 512, 384
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.1
+    p = formats.quantize_int8(w)
+    x = mk_x(m, K)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int8_matmul(p, x)
+    assert actual.shape == (m, N)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("group_size", [-1, 128, 512])
+@pytest.mark.parametrize("m", [1, 4])
+def test_int4_kernel(group_size, m):
+    K, N = 512, 384
+    w = jax.random.normal(jax.random.PRNGKey(2), (K, N)) * 0.1
+    p = formats.quantize_int4(w, group_size=group_size)
+    x = mk_x(m, K, seed=3)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int4_matmul(p, x)
+    assert actual.shape == (m, N)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("fmt", ["nf4", "fp4"])
+@pytest.mark.parametrize("double_quant", [False, True])
+def test_codebook_kernel(fmt, double_quant):
+    K, N = 512, 256
+    w = jax.random.normal(jax.random.PRNGKey(4), (K, N)) * 0.1
+    p = formats.quantize_codebook(w, fmt, block_size=64, double_quant=double_quant)
+    x = mk_x(2, K, seed=5)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int4_matmul(p, x)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+def test_batched_input_shape():
+    K, N = 512, 128
+    w = jax.random.normal(jax.random.PRNGKey(6), (K, N)) * 0.1
+    p = formats.quantize_int8(w)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 3, K)) * 0.5
+    y = pallas_quant.int8_matmul(p, x)
+    assert y.shape == (2, 3, N)
+    expected = x @ formats.dequantize(p)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expected), rtol=2e-2, atol=2e-2)

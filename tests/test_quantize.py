@@ -26,20 +26,23 @@ def test_int8_dequant_error():
     w = rand_w()
     p = formats.quantize_int8(w)
     wd = formats.dequantize(p)
+    assert wd.shape == w.shape  # storage padding sliced away
     # absmax/127 per-channel quantization: error bounded by scale/2
-    bound = np.asarray(p.scales) / 2 + 1e-7
+    bound = np.asarray(p.scales)[: w.shape[1]] / 2 + 1e-7
     assert (np.abs(np.asarray(wd - w)) <= bound[None, :]).all()
 
 
 @pytest.mark.parametrize("group_size", [-1, 32])
 def test_int4_dequant_error(group_size):
     w = rand_w()
+    K, N = w.shape
     p = formats.quantize_int4(w, group_size=group_size)
     wd = formats.dequantize(p)
-    scales = np.asarray(p.scales)
-    K = w.shape[0]
-    gs = K if group_size == -1 else group_size
-    bound = np.repeat(scales, gs, axis=0) / 2 + 1e-6
+    assert wd.shape == w.shape
+    Kp = p.qw.shape[0] * 2
+    gs = Kp if group_size == -1 else group_size
+    scales = np.asarray(p.scales)[:, :N]
+    bound = np.repeat(scales, gs, axis=0)[:K] / 2 + 1e-6
     assert (np.abs(np.asarray(wd - w)) <= bound).all()
 
 
