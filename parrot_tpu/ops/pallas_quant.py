@@ -44,8 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from parrot_tpu.quantize import formats
 
-K_TILE = formats.PACK_BLOCK  # 256 unpacked rows = 128 packed rows
-N_TILE = 128  # lane width: every padded N divides this
+# Tiles sized for HBM streaming: per grid step the kernel moves a
+# [K_TILE/2, N_TILE] packed block (128 KB at 512x512), big enough that
+# per-step pipeline overhead (DMA setup, semaphores, index math) amortizes —
+# at [256, 128] tiles the kernel measures ~20 GB/s, at [512, 512] it
+# approaches the HBM roofline. K_TILE spans two PACK_BLOCKs (unpack = two
+# sublane concats); N edge blocks may be partial (Pallas masks them).
+K_TILE = 2 * formats.PACK_BLOCK  # 512 unpacked rows = 256 packed rows
+N_TILE = 512
 M_TILE = 128
 
 _INTERPRET = False  # flipped by tests on CPU
@@ -63,15 +69,23 @@ def _decode_code(q_bits: jnp.ndarray, code: np.ndarray) -> jnp.ndarray:
 
 
 def _unpack_tile(packed: jnp.ndarray) -> jnp.ndarray:
-    """[K_TILE//2, N] uint8 -> [K_TILE, N] int32 (blocked split-half).
+    """[K//2, N] uint8 -> [K, N] int32 (blocked split-half, possibly several
+    PACK_BLOCKs per tile).
 
     Bit ops run in int32: Mosaic has no vector i8 shift (arith.shrui fails to
     legalize), and the widening is free relative to the dot that follows.
     """
+    half = formats.PACK_BLOCK // 2  # packed rows per block
+    rows, N = packed.shape
     p32 = packed.astype(jnp.int32)
     lo = p32 & 0xF
     hi = (p32 >> 4) & 0xF
-    return jnp.concatenate([lo, hi], axis=0)
+    if rows == half:
+        return jnp.concatenate([lo, hi], axis=0)
+    n_blocks = rows // half
+    lo = lo.reshape(n_blocks, half, N)
+    hi = hi.reshape(n_blocks, half, N)
+    return jnp.concatenate([lo, hi], axis=1).reshape(2 * rows, N)
 
 
 def _to_bf16(q: jnp.ndarray) -> jnp.ndarray:
@@ -110,7 +124,8 @@ def _int8_kernel(x_ref, qw_ref, scales_ref, out_ref, acc_ref, *, n_k: int):
 
 
 def _int4_kernel(
-    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int
+    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
+    k_tile: int,
 ):
     """scales_ref/zeros_ref hold ALL group rows for this n-tile (tiny: a few
     KB) — per-group rows are picked with a dynamic index computed from the
@@ -122,16 +137,16 @@ def _int4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = _to_bf16(_unpack_tile(qw_ref[:]))  # [K_TILE, N_TILE]
+    q = _to_bf16(_unpack_tile(qw_ref[:]))  # [k_tile, N_TILE]
     x = x_ref[:].astype(jnp.bfloat16)
-    groups_per_tile = max(1, K_TILE // gs)
-    sub = min(gs, K_TILE)
+    groups_per_tile = max(1, k_tile // gs)
+    sub = min(gs, k_tile)
     for g in range(groups_per_tile):
         xg = x[:, g * sub : (g + 1) * sub]
         qg = q[g * sub : (g + 1) * sub]
         partial = jnp.dot(xg, qg, preferred_element_type=jnp.float32)  # [M, N]
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # [M, 1]
-        row = (k * K_TILE + g * sub) // gs
+        row = (k * k_tile + g * sub) // gs
         s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)  # [1, N]
         z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
         acc_ref[:] += (partial - xsum * z) * s
@@ -148,7 +163,7 @@ def _int4_kernel(
 
 def _codebook_kernel(
     x_ref, scale2_ref, qw_ref, scales_ref, out_ref, acc_ref, *, n_k: int, bs: int,
-    code: np.ndarray,
+    code: np.ndarray, k_tile: int,
 ):
     k = pl.program_id(2)
 
@@ -156,9 +171,9 @@ def _codebook_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = _unpack_tile(qw_ref[:])  # [K_TILE, N_TILE] int32
-    vals = _decode_code(q, code)  # [K_TILE, N_TILE] f32
-    blocks = K_TILE // bs
+    q = _unpack_tile(qw_ref[:])  # [k_tile, N_TILE] int32
+    vals = _decode_code(q, code)  # [k_tile, N_TILE] f32
+    blocks = k_tile // bs
     raw = scales_ref[pl.ds(k * blocks, blocks), :]
     if raw.dtype == jnp.int8:  # double-quant absmax
         raw = raw.astype(jnp.int32)
@@ -194,13 +209,20 @@ def _prep_x(x: jnp.ndarray, Kp: int):
     return x2, batch_shape, M, min(m_tile, Mp)
 
 
-def _common_call(kernel, x2, Mp, Kp, Np, m_tile, extra_specs, extra_args, out_dtype):
-    grid = (Mp // m_tile, Np // N_TILE, Kp // K_TILE)
+def _pick_k_tile(Kp: int) -> int:
+    return K_TILE if Kp % K_TILE == 0 else formats.PACK_BLOCK
+
+
+def _common_call(kernel, x2, Mp, Kp, Np, m_tile, k_tile, extra_specs, extra_args, out_dtype):
+    # N edge blocks may be partial (masked by Pallas); K must divide exactly —
+    # a partial K tile would accumulate garbage rows into real outputs
+    assert Kp % k_tile == 0, (Kp, k_tile)
+    grid = (Mp // m_tile, pl.cdiv(Np, N_TILE), Kp // k_tile)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_tile, K_TILE), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, k_tile), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
         out_specs=pl.BlockSpec(
@@ -214,16 +236,16 @@ def _common_call(kernel, x2, Mp, Kp, Np, m_tile, extra_specs, extra_args, out_dt
 
 def int8_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
     Kp, Np = p.qw.shape
-    if Kp % K_TILE or Np % N_TILE:
+    if Kp % formats.PACK_BLOCK:
         return _xla_int8(p, x)
+    k_tile = _pick_k_tile(Kp)
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // K_TILE
-    kernel = functools.partial(_int8_kernel, n_k=n_k)
+    kernel = functools.partial(_int8_kernel, n_k=Kp // k_tile)
     scales2d = p.scales.reshape(1, Np)
     y = _common_call(
-        kernel, x2, x2.shape[0], Kp, Np, m_tile,
+        kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
-            pl.BlockSpec((K_TILE, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tile, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         [p.qw, scales2d],
@@ -237,23 +259,20 @@ def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
         return _codebook_matmul(p, x)
     Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
     gs = Kp if p.group_size == -1 else p.group_size
-    aligned = (
-        Kp % K_TILE == 0
-        and Np % N_TILE == 0
-        and (gs % K_TILE == 0 or K_TILE % gs == 0)
-    )
+    k_tile = _pick_k_tile(Kp)
+    aligned = Kp % formats.PACK_BLOCK == 0 and (gs % k_tile == 0 or k_tile % gs == 0)
     if not aligned:
         return _xla_dequant(p, x)
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // K_TILE
+    n_k = Kp // k_tile
     n_groups = Kp // gs
-    kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs)
+    kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs, k_tile=k_tile)
 
     y = _common_call(
-        kernel, x2, x2.shape[0], Kp, Np, m_tile,
+        kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
             pl.BlockSpec(
-                (K_TILE // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+                (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             # all group rows for this n-tile; rows picked dynamically in-kernel
             pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
@@ -268,31 +287,35 @@ def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
 def _codebook_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
     Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
     bs = p.group_size
-    if Kp % K_TILE or Np % N_TILE or K_TILE % bs:
+    k_tile = _pick_k_tile(Kp)
+    if Kp % formats.PACK_BLOCK or k_tile % bs:
         return _xla_dequant(p, x)
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // K_TILE
-    scale2 = (
-        p.scales2.reshape(1, 1).astype(jnp.float32)
-        if p.scales2 is not None
-        else jnp.ones((1, 1), jnp.float32)
-    )
+    n_k = Kp // k_tile
+    # double-quant: fold the second-level scale into f32 absmax in XLA —
+    # Mosaic cannot dynamic-load sub-tile i8 rows (vector<4x128xi8>), and the
+    # f32 absmax adds only ~6% to the streamed bytes in -dq mode
+    if p.scales2 is not None:
+        scales_arr = p.scales.astype(jnp.float32) * p.scales2
+    else:
+        scales_arr = p.scales.astype(jnp.float32)
+    scale2 = jnp.ones((1, 1), jnp.float32)
     kernel = functools.partial(
-        _codebook_kernel, n_k=n_k, bs=bs, code=formats._CODEBOOKS[p.fmt]
+        _codebook_kernel, n_k=n_k, bs=bs, code=formats._CODEBOOKS[p.fmt], k_tile=k_tile
     )
     y = _common_call(
-        kernel, x2, x2.shape[0], Kp, Np, m_tile,
+        kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
             pl.BlockSpec((1, 1), lambda m, n, k: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (K_TILE // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+                (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             # all absmax rows for this n-tile; k-tile rows sliced in-kernel
             pl.BlockSpec(
                 (Kp // bs, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM
             ),
         ],
-        [scale2, p.qw, p.scales if p.scales2 is not None else p.scales.astype(jnp.float32)],
+        [scale2, p.qw, scales_arr],
         x.dtype,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))

@@ -56,12 +56,24 @@ def quantize_params(params: dict, config: Config, mode: str) -> dict:
     int4 format — run :func:`quantize_model_gptq` for calibrated GPTQ."""
     qfn = _rtn_fn(mode)
 
-    def q_stacked(group: dict):
-        return jax.vmap(lambda w, b: qfn(w, bias=b))(group["w"], group.get("b")) \
-            if "b" in group else jax.vmap(lambda w: qfn(w))(group["w"])
-
     def q_flat(group: dict):
         return qfn(group["w"], bias=group.get("b"))
+
+    def q_stacked(group: dict):
+        # one layer at a time: the fp32 quantization intermediates of a single
+        # layer fit comfortably in HBM where a vmap over the whole stack does
+        # not (a 3B model's stacked MLP in fp32 is >4 GB)
+        jfn = jax.jit(lambda w, b: qfn(w, bias=b)) if "b" in group else jax.jit(
+            lambda w: qfn(w)
+        )
+        L = group["w"].shape[0]
+        per_layer = []
+        for l in range(L):
+            args = (group["w"][l], group["b"][l]) if "b" in group else (group["w"][l],)
+            q = jfn(*args)
+            jax.block_until_ready(q.qw)
+            per_layer.append(q)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
 
     params = jax.tree.map(lambda x: x, params)
     attn = params["blocks"]["attn"]

@@ -227,11 +227,16 @@ def quantize_codebook(
     absmax = jnp.max(jnp.abs(wf), axis=1)  # [Kp/bs, Np]
     absmax_safe = jnp.where(absmax == 0, 1.0, absmax)
     normalized = wf / absmax_safe[:, None, :]  # in [-1, 1]
-    code = jnp.asarray(_CODEBOOKS[fmt])
-    # nearest codebook entry
-    dist = jnp.abs(normalized[..., None] - code[None, None, None, :])
-    q = jnp.argmin(dist, axis=-1).astype(jnp.uint8)
-    q = q.reshape(Kp, Np)
+    # nearest codebook entry via a running argmin (a [.., 16] distance tensor
+    # costs 64 bytes/weight — OOM for multi-GB layers)
+    best_idx = jnp.zeros(normalized.shape, jnp.uint8)
+    best_dist = jnp.full(normalized.shape, jnp.inf, jnp.float32)
+    for i, c in enumerate(_CODEBOOKS[fmt]):
+        d = jnp.abs(normalized - float(c))
+        better = d < best_dist
+        best_dist = jnp.where(better, d, best_dist)
+        best_idx = jnp.where(better, jnp.uint8(i), best_idx)
+    q = best_idx.reshape(Kp, Np)
     scales2 = None
     if double_quant:
         # store absmax as int8 against a single fp32 second-level scale
