@@ -60,6 +60,11 @@ def generate(
     if max_seq_length is None:
         max_seq_length = R
     S = min(max_seq_length, config.block_size)
+    if T > S:
+        raise ValueError(
+            f"prompt length {T} exceeds the KV cache size {S} "
+            f"(max_seq_length={max_seq_length}, block_size={config.block_size})"
+        )
 
     cache = KVCache.init(config, 1, S, dtype=cache_dtype)
     tokens = jnp.zeros((R,), jnp.int32).at[:T].set(prompt)

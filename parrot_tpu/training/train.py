@@ -38,12 +38,15 @@ def loss_fn(
     *,
     remat: bool = True,
     chunk_size: int = 128,
+    shift: bool = True,
 ) -> jnp.ndarray:
     logits = gpt.forward(params, config, input_ids, remat=remat)
-    # next-token prediction: logits t predicts label t+1 (finetune/full.py:163-165)
-    return chunked_cross_entropy(
-        logits[:, :-1], labels[:, 1:], chunk_size=chunk_size
-    )
+    if shift:
+        # labels aligned with inputs: logits t predicts label t+1
+        # (finetune/full.py:163-165)
+        logits, labels = logits[:, :-1], labels[:, 1:]
+    # else: labels pre-shifted by the data pipeline (pretrain/redpajama.py:179-180)
+    return chunked_cross_entropy(logits, labels, chunk_size=chunk_size)
 
 
 def make_train_step(
@@ -53,6 +56,7 @@ def make_train_step(
     accumulate_steps: int = 1,
     remat: bool = True,
     trainable_mask: Optional[Any] = None,
+    shift: bool = True,
 ):
     """Build a jittable ``(params, opt_state, batch) -> (params, opt_state,
     loss)`` step.
@@ -66,7 +70,7 @@ def make_train_step(
     """
 
     grad_fn = jax.value_and_grad(
-        functools.partial(loss_fn, config=config, remat=remat)
+        functools.partial(loss_fn, config=config, remat=remat, shift=shift)
     )
 
     def microbatch_grads(params, input_ids, labels):
@@ -102,10 +106,10 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(config: Config, *, remat: bool = False):
+def make_eval_step(config: Config, *, remat: bool = False, shift: bool = True):
     def eval_step(params, batch):
         return loss_fn(
-            params, config, batch["input_ids"], batch["labels"], remat=remat
+            params, config, batch["input_ids"], batch["labels"], remat=remat, shift=shift
         )
 
     return eval_step

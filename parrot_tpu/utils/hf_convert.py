@@ -241,6 +241,79 @@ def iter_hf_shards(checkpoint_dir: Path) -> Iterator[dict[str, np.ndarray]]:
             yield load_torch_bin(path)
 
 
+def split_fused_qkv(config: Config, fused_t: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`interleave_qkv`: ``[in, qkv_out]`` -> HF-layout
+    ``q/k/v`` each ``[out, in]``."""
+    hs, G, Q = config.head_size, config.n_query_groups, config.q_per_kv
+    D = fused_t.shape[0]
+    fused = np.ascontiguousarray(fused_t.T).reshape(G, (Q + 2) * hs, D)
+    q = fused[:, : Q * hs].reshape(G * Q * hs, D)
+    k = fused[:, Q * hs : (Q + 1) * hs].reshape(G * hs, D)
+    v = fused[:, (Q + 1) * hs :].reshape(G * hs, D)
+    return q, k, v
+
+
+def convert_to_hf_state_dict(config: Config, params: dict) -> dict[str, np.ndarray]:
+    """parrot param tree -> HF state dict (counterpart of
+    ``scripts/convert_lit_checkpoint.py``; unlike the reference, the
+    llama direction is implemented — the fused QKV de-interleaves back into
+    separate projections — where the reference raises NotImplementedError,
+    ``convert_lit_checkpoint.py:117``)."""
+    wmap = weight_map_for(config)
+    out: dict[str, np.ndarray] = {}
+    V = config.vocab_size if config.padded_vocab_size is None else config.padded_vocab_size
+
+    # invert the map: parrot path -> (hf pattern, transpose)
+    inverse = {}
+    for hf_pattern, (path, transpose) in wmap.items():
+        if path.startswith("__qkv_"):
+            continue
+        inverse[path] = (hf_pattern, transpose)
+
+    def emit(path: str, arr: np.ndarray, layer: int | None) -> None:
+        if path not in inverse:
+            return
+        hf_pattern, transpose = inverse[path]
+        name = hf_pattern.replace("{L}", str(layer)) if layer is not None else hf_pattern
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        out[name] = arr
+
+    flat_blocks: dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for key, val in node.items():
+                walk(val, f"{prefix}.{key}" if prefix else key)
+        else:
+            flat_blocks[prefix] = np.asarray(val_to_np(node))
+
+    def val_to_np(x):
+        import jax.numpy as jnp
+
+        arr = np.asarray(x if x.dtype != jnp.bfloat16 else x.astype(jnp.float32))
+        return arr
+
+    walk(params, "")
+
+    llama = config.mlp_class == "LLaMAMLP" and "falcon" not in config.name
+    for path, arr in flat_blocks.items():
+        if path.startswith("blocks."):
+            for layer in range(config.n_layer):
+                sliced = arr[layer]
+                if llama and path == "blocks.attn.qkv.w":
+                    q, k, v = split_fused_qkv(config, sliced)
+                    base = f"model.layers.{layer}.self_attn"
+                    out[f"{base}.q_proj.weight"] = q
+                    out[f"{base}.k_proj.weight"] = k
+                    out[f"{base}.v_proj.weight"] = v
+                else:
+                    emit(path, sliced, layer)
+        else:
+            emit(path, arr, None)
+    return out
+
+
 def load_torch_bin(path: Path) -> dict[str, np.ndarray]:
     import torch
 

@@ -93,6 +93,15 @@ class Tokenizer:
             tokens = tokens[:max_length]
         return np.asarray(tokens, dtype=np.int32)
 
+    def token_to_id(self, token: str) -> int:
+        if self.backend == "sentencepiece":
+            tid = self.processor.piece_to_id(token)
+        else:
+            tid = self.processor.token_to_id(token)
+        if tid is None:
+            raise ValueError(f"token {token!r} not found in the tokenizer vocabulary")
+        return tid
+
     def decode(self, tokens) -> str:
         tokens = np.asarray(tokens).tolist()
         if isinstance(tokens, int):

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Interactive streaming chat REPL (counterpart of the reference's
+``chat/base.py``)."""
+
+import sys
+from pathlib import Path
+from typing import Optional
+
+wd = Path(__file__).parent.parent.resolve()
+sys.path.insert(0, str(wd))
+
+
+def main(
+    checkpoint_dir: Path = Path("checkpoints/stabilityai/stablelm-tuned-alpha-3b"),
+    top_k: int = 200,
+    temperature: float = 0.8,
+    quantize: Optional[str] = None,
+    precision: str = "bf16-true",
+    max_new_tokens: int = 256,
+) -> None:
+    """Starts a conversation with a tuned model.
+
+    Args:
+        checkpoint_dir: The checkpoint directory to load.
+        top_k: The number of top most probable tokens in sampling.
+        temperature: Sampling temperature (0 = greedy).
+        quantize: Quantization mode (bnb.* or gptq.int4).
+        precision: bf16-true or 32-true.
+        max_new_tokens: Per-reply generation budget.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.generate import engine
+    from parrot_tpu.generate.loader import load_model
+    from parrot_tpu.generate.prompts import prompt_config
+
+    config, params, tokenizer = load_model(checkpoint_dir, quantize, precision)
+    system_prompt, stop_tokens = prompt_config(checkpoint_dir, tokenizer)
+
+    rng = jax.random.PRNGKey(1234)
+    print("Chat ready — empty prompt or Ctrl-C to exit.", file=sys.stderr)
+    while True:
+        try:
+            prompt = input(">> Prompt: ")
+        except (KeyboardInterrupt, EOFError):
+            break
+        if not prompt:
+            break
+        encoded = jnp.asarray(
+            tokenizer.encode(system_prompt.format(prompt=prompt)), jnp.int32
+        )
+        rng, turn_rng = jax.random.split(rng)
+        print(">> Reply: ", end="", flush=True)
+        # stream tokens; decode incrementally by diffing the decoded prefix
+        # (handles tokenizers whose pieces merge across boundaries,
+        # chat/base.py:98-117)
+        produced: list[int] = []
+        printed = ""
+        try:
+            for tok in engine.generate_stream(
+                params, config, encoded, turn_rng,
+                max_returned_tokens=int(encoded.shape[0]) + max_new_tokens,
+                temperature=temperature, top_k=top_k, stop_tokens=stop_tokens,
+            ):
+                produced.append(int(tok))
+                text = tokenizer.decode(produced)
+                print(text[len(printed):], end="", flush=True)
+                printed = text
+        except KeyboardInterrupt:
+            pass
+        print()
+
+
+if __name__ == "__main__":
+    from parrot_tpu.utils.cli import cli
+
+    cli(main)

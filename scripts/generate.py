@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Generate text samples from a checkpoint (counterpart of the reference's
+``generate/base.py`` CLI)."""
+
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+wd = Path(__file__).parent.parent.resolve()
+sys.path.insert(0, str(wd))
+
+
+def main(
+    prompt: str = "Hello, my name is",
+    num_samples: int = 1,
+    max_new_tokens: int = 50,
+    top_k: int = 200,
+    temperature: float = 0.8,
+    checkpoint_dir: Path = Path("checkpoints/stabilityai/stablelm-base-alpha-3b"),
+    quantize: Optional[str] = None,
+    precision: str = "bf16-true",
+    seed: int = 1234,
+) -> None:
+    """Generates text samples based on a pre-trained model and tokenizer.
+
+    Args:
+        prompt: The prompt string to use for generating the samples.
+        num_samples: The number of text samples to generate.
+        max_new_tokens: The number of generation steps to take.
+        top_k: The number of top most probable tokens to consider in the sampling process.
+        temperature: Scales the predicted logits; 0 selects greedy decoding.
+        checkpoint_dir: The checkpoint directory to load.
+        quantize: Quantization mode: bnb.nf4, bnb.nf4-dq, bnb.fp4, bnb.fp4-dq,
+            bnb.int8 (RTN at load time) or gptq.int4 (pre-calibrated file).
+        precision: bf16-true or 32-true.
+        seed: Random seed for sampling.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.generate import engine
+    from parrot_tpu.generate.loader import device_memory_report, load_model
+
+    config, params, tokenizer = load_model(checkpoint_dir, quantize, precision)
+
+    encoded = jnp.asarray(tokenizer.encode(prompt), jnp.int32)
+    prompt_length = int(encoded.shape[0])
+    max_returned_tokens = prompt_length + max_new_tokens
+    assert max_returned_tokens <= config.block_size, (max_returned_tokens, config.block_size)
+
+    rng = jax.random.PRNGKey(seed)
+    for i in range(num_samples):
+        rng, sample_rng = jax.random.split(rng)
+        t0 = time.perf_counter()
+        tokens, n = engine.generate(
+            params, config, encoded, sample_rng,
+            max_returned_tokens=max_returned_tokens,
+            temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
+        )
+        n = int(n)  # device sync
+        t = time.perf_counter() - t0
+        print(tokenizer.decode(tokens[:n]))
+        print(
+            f"Time for inference {i + 1}: {t:.02f} sec total,"
+            f" {(n - prompt_length) / t:.02f} tokens/sec",
+            file=sys.stderr,
+        )
+    if (report := device_memory_report()) is not None:
+        print(report, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    from parrot_tpu.utils.cli import cli
+
+    cli(main)
