@@ -46,14 +46,28 @@ Params = dict
 
 @struct.dataclass
 class KVCache:
-    """Functional KV cache: ``k``/``v`` of shape ``[L, B, S, groups, H]``."""
+    """Functional KV cache: ``k``/``v`` of shape ``[L, B, S, groups, H]``.
+
+    ``dtype=jnp.int8`` selects the INT8 cache (absent from the reference; per
+    BASELINE.json north star): entries are absmax-quantized per (token, head)
+    at write time with fp scales in ``k_scale``/``v_scale``
+    ``[L, B, S, groups]``, and the scales fold into the attention math (scores
+    for K, probabilities for V) so the cache reads stay int8 — halving decode
+    HBM traffic from the cache vs bf16.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_seq_length(self) -> int:
         return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def init(
@@ -70,7 +84,23 @@ class KVCache:
             config.n_query_groups,
             config.head_size,
         )
+        if dtype == jnp.int8:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.ones(shape[:-1], jnp.float32),
+                v_scale=jnp.ones(shape[:-1], jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Absmax int8 per (batch, token, head): ``[B, T, G, H]`` ->
+    (codes int8, scales f32 [B, T, G])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return codes.astype(jnp.int8), scale
 
 
 # ---------------------------------------------------------------------------
@@ -234,15 +264,28 @@ def attn_forward(
 
     new_kv = None
     if kv is not None:
-        cache_k, cache_v = kv
         # circular-buffer write at `slot` (= pos % S); contiguous span —
         # prefill always starts at 0, decode writes exactly one token.
-        cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, slot, 0, 0))
-        cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, slot, 0, 0))
-        new_kv = (cache_k, cache_v)
-        y = attention(
-            q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), scale=scale, mask=mask
-        )
+        if len(kv) == 4:  # int8 KV cache
+            cache_k, cache_v, ks, vs = kv
+            kq, k_sc = _quantize_kv(k)
+            vq, v_sc = _quantize_kv(v)
+            cache_k = lax.dynamic_update_slice(cache_k, kq, (0, slot, 0, 0))
+            cache_v = lax.dynamic_update_slice(cache_v, vq, (0, slot, 0, 0))
+            ks = lax.dynamic_update_slice(ks, k_sc, (0, slot, 0))
+            vs = lax.dynamic_update_slice(vs, v_sc, (0, slot, 0))
+            new_kv = (cache_k, cache_v, ks, vs)
+            y = attention(
+                q, cache_k, cache_v, scale=scale, mask=mask, k_scale=ks, v_scale=vs
+            )
+        else:
+            cache_k, cache_v = kv
+            cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, slot, 0, 0))
+            cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, slot, 0, 0))
+            new_kv = (cache_k, cache_v)
+            y = attention(
+                q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), scale=scale, mask=mask
+            )
     else:
         y = attention(q, k, v, scale=scale, causal=True, q_offset=q_offset, window=window)
 
@@ -437,18 +480,35 @@ def forward_cached(
     mask = jnp.broadcast_to(visible[None], (B, T, S))
     slot = jnp.where(input_pos >= S, input_pos % S, input_pos)
 
-    def step(x, layer):
-        p_layer, layer_id, k_l, v_l = layer
-        x, new_kv = block_forward(
-            p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
-            layer_id=layer_id,
-        )
-        return x, new_kv
+    layer_ids = jnp.arange(config.n_layer)
+    if cache.quantized:
+        def step(x, layer):
+            p_layer, layer_id, k_l, v_l, ks_l, vs_l = layer
+            x, new_kv = block_forward(
+                p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
+                slot=slot, mask=mask, layer_id=layer_id,
+            )
+            return x, new_kv
 
-    x, (new_k, new_v) = lax.scan(
-        step, x, (params["blocks"], jnp.arange(config.n_layer), cache.k, cache.v)
-    )
+        x, (new_k, new_v, new_ks, new_vs) = lax.scan(
+            step, x,
+            (params["blocks"], layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        )
+        new_cache = KVCache(k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
+    else:
+        def step(x, layer):
+            p_layer, layer_id, k_l, v_l = layer
+            x, new_kv = block_forward(
+                p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
+                layer_id=layer_id,
+            )
+            return x, new_kv
+
+        x, (new_k, new_v) = lax.scan(
+            step, x, (params["blocks"], layer_ids, cache.k, cache.v)
+        )
+        new_cache = KVCache(k=new_k, v=new_v)
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, new_cache

@@ -34,6 +34,8 @@ def attention(
     causal: bool = False,
     q_offset: int | jnp.ndarray = 0,
     window: Optional[int] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [B, S, groups]: int8-KV dequant
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention with implicit GQA broadcast.
 
@@ -47,10 +49,25 @@ def attention(
     S, groups = k.shape[1], k.shape[2]
     q_per_kv = n_head // groups
 
+    if (
+        causal and mask is None and window is None and k_scale is None
+        and isinstance(q_offset, int) and q_offset == 0 and T == S
+    ):
+        from parrot_tpu.ops import flash_attention as fa
+
+        if fa.use_flash(T, H):
+            return fa.flash_attention(q, k, v, scale=scale, causal=True)
+
+    if k.dtype == jnp.int8:  # int8 KV cache: contract the codes, fold scales
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+
     qg = q.reshape(B, T, groups, q_per_kv, H)
     # [B, G, Q, T, S]
     scores = jnp.einsum("btgqh,bsgh->bgqts", qg, k, preferred_element_type=jnp.float32)
     scores = scores * jnp.float32(scale)
+    if k_scale is not None:
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
 
     neg = jnp.finfo(jnp.float32).min
     if causal:
@@ -66,6 +83,8 @@ def attention(
 
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    if v_scale is not None:
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     probs = probs.astype(v.dtype)
 
     out = jnp.einsum("bgqts,bsgh->btgqh", probs, v)

@@ -194,6 +194,49 @@ def test_kv_cache_decode_matches_full_forward():
         )
 
 
+def test_int8_kv_cache_close_to_fp():
+    """INT8 KV cache decode must track the fp cache closely (north-star
+    feature; no reference counterpart)."""
+    config = Config(
+        name="tiny",
+        block_size=32,
+        vocab_size=64,
+        padded_vocab_size=64,
+        n_layer=2,
+        n_head=4,
+        n_query_groups=2,
+        n_embd=32,
+        rotary_percentage=1.0,
+    )
+    params = gpt.init_params(config, jax.random.PRNGKey(2))
+    tokens = np.random.RandomState(6).randint(0, 64, size=(2, 12))
+
+    fp_cache = gpt.KVCache.init(config, 2, 16, dtype=jnp.float32)
+    q_cache = gpt.KVCache.init(config, 2, 16, dtype=jnp.int8)
+    assert q_cache.quantized and q_cache.k.dtype == jnp.int8
+
+    fp_logits, fp_cache = gpt.forward_cached(
+        params, config, jnp.asarray(tokens[:, :8], jnp.int32), fp_cache, jnp.asarray(0)
+    )
+    q_logits, q_cache = gpt.forward_cached(
+        params, config, jnp.asarray(tokens[:, :8], jnp.int32), q_cache, jnp.asarray(0)
+    )
+    scale = np.abs(np.asarray(fp_logits)).max()
+    np.testing.assert_allclose(
+        np.asarray(q_logits) / scale, np.asarray(fp_logits) / scale, atol=0.02
+    )
+    for t in range(8, 12):
+        fp_logits, fp_cache = gpt.forward_cached(
+            params, config, jnp.asarray(tokens[:, t:t+1], jnp.int32), fp_cache, jnp.asarray(t)
+        )
+        q_logits, q_cache = gpt.forward_cached(
+            params, config, jnp.asarray(tokens[:, t:t+1], jnp.int32), q_cache, jnp.asarray(t)
+        )
+    np.testing.assert_allclose(
+        np.asarray(q_logits) / scale, np.asarray(fp_logits) / scale, atol=0.03
+    )
+
+
 def test_rolling_window_matches_truncated_recompute():
     """Once positions exceed the cache size, logits must equal a full forward
     over the *last S tokens at their absolute positions* (the reference's
