@@ -84,6 +84,83 @@ def quantize_params(params: dict, config: Config, mode: str) -> dict:
     return params
 
 
+def init_quantized_params(
+    config: Config, rng, mode: str = "gptq.int4", dtype=jnp.bfloat16
+) -> dict:
+    """Random-init a model directly in quantized form (random codes +
+    plausible scales) without ever materializing the fp weights — for
+    benchmarking and memory planning of models whose fp form exceeds HBM.
+    Throughput is weight-value-independent, so benches on these params match
+    real checkpoints."""
+    import numpy as np
+
+    from parrot_tpu.models import gpt as gpt_model
+    from parrot_tpu.quantize.formats import (
+        K_ALIGN, N_ALIGN, _round_up, pack_nibbles,
+    )
+
+    if mode not in ("gptq.int4", "bnb.int8"):
+        raise NotImplementedError(mode)
+    L, D, I, V = config.n_layer, config.n_embd, config.intermediate_size, config.padded_vocab_size
+
+    seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+    rs = np.random.RandomState(seed)
+
+    def q_linear(k, n, stack=None):
+        kp, np_ = _round_up(k, K_ALIGN), _round_up(n, N_ALIGN)
+        shape_prefix = (stack,) if stack else ()
+        if mode == "gptq.int4":
+            codes = rs.randint(0, 16, size=shape_prefix + (kp, np_)).astype(np.uint8)
+            packed = np.concatenate  # packed per stack element below
+            if stack:
+                qw = np.stack([np.asarray(pack_nibbles(jnp.asarray(c))) for c in codes])
+            else:
+                qw = np.asarray(pack_nibbles(jnp.asarray(codes)))
+            scales = rs.rand(*(shape_prefix + (1, np_))).astype(np.float32) * 0.01
+            zeros = np.full(shape_prefix + (1, np_), 8.0, np.float32)
+            return formats.QuantizedLinear(
+                qw=jnp.asarray(qw), scales=jnp.asarray(scales), zeros=jnp.asarray(zeros),
+                fmt="int4", group_size=-1, in_features=k, out_features=n,
+            )
+        qw = rs.randint(-127, 128, size=shape_prefix + (kp, np_)).astype(np.int8)
+        scales = rs.rand(*(shape_prefix + (np_,))).astype(np.float32) * 0.001
+        return formats.QuantizedLinear(
+            qw=jnp.asarray(qw), scales=jnp.asarray(scales),
+            fmt="int8", group_size=-1, in_features=k, out_features=n,
+        )
+
+    def norm(stacked=True):
+        shape = (L, D) if stacked else (D,)
+        p = {"scale": jnp.ones(shape, dtype)}
+        if config.norm_class == "LayerNorm":
+            p["bias"] = jnp.zeros(shape, dtype)
+        return p
+
+    blocks = {
+        "norm_1": norm(),
+        "attn": {
+            "qkv": q_linear(D, config.qkv_out_size, stack=L),
+            "proj": q_linear(D, D, stack=L),
+        },
+    }
+    if not config.shared_attention_norm:
+        blocks["norm_2"] = norm()
+    if config.mlp_class == "LLaMAMLP":
+        blocks["mlp"] = {
+            "fc_1": q_linear(D, I, stack=L),
+            "fc_2": q_linear(D, I, stack=L),
+            "proj": q_linear(I, D, stack=L),
+        }
+    else:
+        blocks["mlp"] = {"fc": q_linear(D, I, stack=L), "proj": q_linear(I, D, stack=L)}
+    return {
+        "wte": {"weight": (jnp.asarray(rs.randn(V, D), dtype) * 0.02)},
+        "blocks": blocks,
+        "ln_f": norm(stacked=False),
+        "lm_head": q_linear(D, V),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Blockwise GPTQ calibration
 # ---------------------------------------------------------------------------
