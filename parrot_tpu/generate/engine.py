@@ -97,6 +97,81 @@ def generate(
     return tokens, pos
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "max_returned_tokens", "temperature", "top_k", "eos_id", "cache_dtype",
+    ),
+)
+def generate_batch(
+    params,
+    config: Config,
+    prompts: jnp.ndarray,  # [B, T_max] int32, right-padded
+    prompt_lengths: jnp.ndarray,  # [B] int32
+    rng: jax.Array,
+    *,
+    max_returned_tokens: int,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    cache_dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ragged generation: B prompts of different lengths decode in
+    lock-step, each at its own position, with per-sequence EOS retirement —
+    the static-batch core of continuous batching. (The reference generates
+    batch-size 1 only, ``generate/base.py:92-159``.)
+
+    Returns ``(tokens [B, max_returned_tokens], lengths [B])``; each row holds
+    its prompt then its generation (incl. EOS when hit).
+    """
+    B, T_max = prompts.shape
+    R = max_returned_tokens
+    S = min(R, config.block_size)
+
+    cache = KVCache.init(config, B, S, dtype=cache_dtype)
+    tokens = jnp.zeros((B, R), jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompts, (0, 0))
+
+    # prefill all prompts together; pad positions write garbage K/V that
+    # stays masked (slot >= length) until overwritten by decode
+    logits, cache = gpt.forward_cached(
+        params, config, prompts, cache, jnp.asarray(0, jnp.int32)
+    )
+    # each sequence's first step conditions on its own last prompt token
+    last = jnp.take_along_axis(
+        logits, (prompt_lengths - 1)[:, None, None], axis=1
+    )[:, 0]  # [B, V]
+    rng, step_rng = jax.random.split(rng)
+    cur = sample(step_rng, last, temperature, top_k)  # [B]
+
+    def cond(state):
+        tokens, cache, lengths, cur, rng, done = state
+        return jnp.logical_and(jnp.any(~done), jnp.min(lengths) < R)
+
+    def body(state):
+        tokens, cache, lengths, cur, rng, done = state
+        can_write = (~done) & (lengths < R)
+        write_pos = jnp.clip(lengths, 0, R - 1)
+        new_vals = jnp.where(can_write, cur, tokens[jnp.arange(B), write_pos])
+        tokens = tokens.at[jnp.arange(B), write_pos].set(new_vals)
+        is_eos = (cur == eos_id) if eos_id is not None else jnp.zeros((B,), bool)
+        done = done | (can_write & is_eos)
+        lengths = jnp.where(can_write, lengths + 1, lengths)
+        done = done | (lengths >= R)
+
+        logits, cache = gpt.forward_decode_batched(
+            params, config, cur[:, None], cache, jnp.minimum(lengths - 1, R - 1)
+        )
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample(step_rng, logits[:, 0], temperature, top_k)
+        return tokens, cache, lengths, nxt, rng, done
+
+    state = (tokens, cache, prompt_lengths.astype(jnp.int32), cur, rng,
+             jnp.zeros((B,), bool))
+    tokens, _, lengths, _, _, _ = lax.while_loop(cond, body, state)
+    return tokens, lengths
+
+
 def generate_stream(
     params,
     config: Config,

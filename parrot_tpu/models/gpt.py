@@ -263,7 +263,28 @@ def attn_forward(
     scale = 1.0 / math.sqrt(config.head_size)
 
     new_kv = None
-    if kv is not None:
+    if kv is not None and slot is not None and getattr(slot, "ndim", 0) == 1:
+        # ragged batched decode (T == 1): per-sequence cache slots
+        B_idx = jnp.arange(B)
+        if len(kv) == 4:
+            cache_k, cache_v, ks, vs = kv
+            kq, k_sc = _quantize_kv(k)
+            vq, v_sc = _quantize_kv(v)
+            cache_k = cache_k.at[B_idx, slot].set(kq[:, 0])
+            cache_v = cache_v.at[B_idx, slot].set(vq[:, 0])
+            ks = ks.at[B_idx, slot].set(k_sc[:, 0])
+            vs = vs.at[B_idx, slot].set(v_sc[:, 0])
+            new_kv = (cache_k, cache_v, ks, vs)
+            y = attention(q, cache_k, cache_v, scale=scale, mask=mask,
+                          k_scale=ks, v_scale=vs)
+        else:
+            cache_k, cache_v = kv
+            cache_k = cache_k.at[B_idx, slot].set(k[:, 0].astype(cache_k.dtype))
+            cache_v = cache_v.at[B_idx, slot].set(v[:, 0].astype(cache_v.dtype))
+            new_kv = (cache_k, cache_v)
+            y = attention(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+                          scale=scale, mask=mask)
+    elif kv is not None:
         # circular-buffer write at `slot` (= pos % S); contiguous span —
         # prefill always starts at 0, decode writes exactly one token.
         if len(kv) == 4:  # int8 KV cache
@@ -508,6 +529,65 @@ def forward_cached(
             step, x, (params["blocks"], layer_ids, cache.k, cache.v)
         )
         new_cache = KVCache(k=new_k, v=new_v)
+
+    x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
+    logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
+    return logits, new_cache
+
+
+def forward_decode_batched(
+    params: Params,
+    config: Config,
+    idx: jnp.ndarray,  # [B, 1] int32
+    cache: KVCache,
+    positions: jnp.ndarray,  # [B] int32: absolute position of each sequence
+) -> tuple[jnp.ndarray, KVCache]:
+    """Single-token decode with *per-sequence* positions — the ragged-batch
+    step behind continuous batching (no reference counterpart; the reference
+    decodes batch-size 1 only). Each sequence writes its K/V at its own slot
+    and ropes at its own position; attention masks slots >= that sequence's
+    current length.
+    """
+    B = idx.shape[0]
+    S = cache.max_seq_length
+    x = jnp.take(params["wte"]["weight"], idx, axis=0)
+
+    cos_t, sin_t = _rope_tables(config, x.dtype)
+    safe_pos = jnp.minimum(positions, config.block_size - 1)
+    cos = jnp.take(cos_t, safe_pos, axis=0)[:, None]  # [B, 1, d]
+    sin = jnp.take(sin_t, safe_pos, axis=0)[:, None]
+
+    slots = jnp.arange(S)[None, :]
+    visible = (slots <= positions[:, None]) | (positions[:, None] >= S)  # [B, S]
+    mask = visible[:, None, :]  # [B, 1, S]
+    slot = jnp.where(positions >= S, positions % S, positions)  # [B]
+
+    layer_ids = jnp.arange(config.n_layer)
+    if cache.quantized:
+        def step(x, layer):
+            p_layer, layer_id, k_l, v_l, ks_l, vs_l = layer
+            x, new_kv = block_forward(
+                p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
+                slot=slot, mask=mask, layer_id=layer_id,
+            )
+            return x, new_kv
+
+        x, (nk, nv, nks, nvs) = lax.scan(
+            step, x,
+            (params["blocks"], layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        )
+        new_cache = KVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
+    else:
+        def step(x, layer):
+            p_layer, layer_id, k_l, v_l = layer
+            x, new_kv = block_forward(
+                p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
+                layer_id=layer_id,
+            )
+            return x, new_kv
+
+        x, (nk, nv) = lax.scan(step, x, (params["blocks"], layer_ids, cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv)
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))

@@ -48,14 +48,16 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     """Rotate the last dim of ``x``.
 
     ``x``: [..., T, n_heads, rope_dim] (BTNH layout); ``cos``/``sin``:
-    [T, rope_dim]. Only call on the first ``rope_n_elem`` dims for
-    partial-rotary models; the caller concatenates the pass-through tail.
+    [T, rope_dim] shared across the batch, or [B, T, rope_dim] for per-batch
+    positions (ragged batched decoding). Only call on the first
+    ``rope_n_elem`` dims for partial-rotary models; the caller concatenates
+    the pass-through tail.
     """
     rope_dim = x.shape[-1]
     x1 = x[..., : rope_dim // 2]
     x2 = x[..., rope_dim // 2 :]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    # broadcast [T, rope_dim] over batch and head axes (BTNH: insert head axis)
-    c = cos[:, None, :].astype(x.dtype)
-    s = sin[:, None, :].astype(x.dtype)
+    # insert the head axis: [T, d] -> [T, 1, d]; [B, T, d] -> [B, T, 1, d]
+    c = cos[..., None, :].astype(x.dtype)
+    s = sin[..., None, :].astype(x.dtype)
     return x * c + rotated * s

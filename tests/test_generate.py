@@ -95,6 +95,60 @@ def test_generate_eos_early_exit():
     assert int(toks2[3]) == first_gen
 
 
+def test_generate_batch_matches_single():
+    """Ragged batched generation must reproduce per-sequence single
+    generation exactly (greedy)."""
+    params = make_params()
+    prompts = [
+        jnp.array([1, 2, 3, 4], jnp.int32),
+        jnp.array([9, 8], jnp.int32),
+        jnp.array([5, 5, 5], jnp.int32),
+    ]
+    R = 12
+    singles = [
+        np.asarray(engine.generate(
+            params, CFG, p, jax.random.PRNGKey(0),
+            max_returned_tokens=R, temperature=0.0, cache_dtype=jnp.float32,
+        )[0])
+        for p in prompts
+    ]
+
+    T_max = max(p.shape[0] for p in prompts)
+    padded = jnp.stack([
+        jnp.pad(p, (0, T_max - p.shape[0])) for p in prompts
+    ])
+    lengths = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
+    toks, out_lens = engine.generate_batch(
+        params, CFG, padded, lengths, jax.random.PRNGKey(0),
+        max_returned_tokens=R, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    for b in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(toks[b]), singles[b], err_msg=f"sequence {b}"
+        )
+        assert int(out_lens[b]) == R
+
+
+def test_generate_batch_eos_retirement():
+    params = make_params()
+    prompts = jnp.array([[1, 2, 3], [7, 6, 5]], jnp.int32)
+    lengths = jnp.array([3, 3], jnp.int32)
+    # find each row's first greedy token, use row 0's as "eos"
+    toks, _ = engine.generate_batch(
+        params, CFG, prompts, lengths, jax.random.PRNGKey(0),
+        max_returned_tokens=10, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    eos = int(toks[0, 3])
+    toks2, lens2 = engine.generate_batch(
+        params, CFG, prompts, lengths, jax.random.PRNGKey(0),
+        max_returned_tokens=10, temperature=0.0, eos_id=eos,
+        cache_dtype=jnp.float32,
+    )
+    assert int(lens2[0]) == 4  # prompt + eos
+    # row 1 keeps generating unless it also hits eos
+    assert int(lens2[1]) >= 4
+
+
 def test_stream_matches_generate():
     params = make_params()
     prompt = jnp.array([4, 4, 8], jnp.int32)
