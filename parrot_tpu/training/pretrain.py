@@ -178,10 +178,30 @@ def pretrain(
         * batch_size * gradient_accumulation
     )
 
+    # fast path: the native C++ prefetching reader when built and the corpus
+    # is a single unweighted source (the mixture path stays in Python)
+    native_iter = None
+    if len(data_config) == 1 and not data_config[0][0]:
+        from parrot_tpu.data import native_reader
+
+        if native_reader.is_available():
+            files = sorted(glob.glob(str(Path(train_data_dir) / "*")))
+            try:
+                native_iter = native_reader.NativePackedReader(
+                    files, config.block_size + 1, batch_size * gradient_accumulation,
+                    shuffle=True, wrap=True, seed=seed,
+                )
+                print("using native packed reader", file=sys.stderr)
+            except RuntimeError:
+                native_iter = None
+
     def next_batch():
-        blocks = np.stack([
-            next(train_iter) for _ in range(batch_size * gradient_accumulation)
-        ]).astype(np.int32)
+        if native_iter is not None:
+            blocks = next(native_iter)
+        else:
+            blocks = np.stack([
+                next(train_iter) for _ in range(batch_size * gradient_accumulation)
+            ]).astype(np.int32)
         # input = block[:-1], target = block[1:] (redpajama.py:179-180)
         inputs, targets = blocks[:, :-1], blocks[:, 1:]
         if gradient_accumulation > 1:
