@@ -69,9 +69,9 @@ def generate(
     cache = KVCache.init(config, 1, S, dtype=cache_dtype)
     tokens = jnp.zeros((R,), jnp.int32).at[:T].set(prompt)
 
-    # prefill
+    # prefill (flash-eligible causal attention path)
     logits, cache = gpt.forward_cached(
-        params, config, prompt[None, :], cache, jnp.asarray(0, jnp.int32)
+        params, config, prompt[None, :], cache, jnp.asarray(0, jnp.int32), prefill=True
     )
     rng, step_rng = jax.random.split(rng)
     next_tok = sample(step_rng, logits[0, -1], temperature, top_k)
@@ -135,7 +135,7 @@ def generate_batch(
     # prefill all prompts together; pad positions write garbage K/V that
     # stays masked (slot >= length) until overwritten by decode
     logits, cache = gpt.forward_cached(
-        params, config, prompts, cache, jnp.asarray(0, jnp.int32)
+        params, config, prompts, cache, jnp.asarray(0, jnp.int32), prefill=True
     )
     # each sequence's first step conditions on its own last prompt token
     last = jnp.take_along_axis(
@@ -201,9 +201,9 @@ def generate_stream(
     )
 
     cache = KVCache.init(config, 1, S, dtype=cache_dtype)
-    logits, cache = jax.jit(functools.partial(gpt.forward_cached, config=config))(
-        params, idx=prompt[None, :], cache=cache, input_pos=jnp.asarray(0, jnp.int32)
-    )
+    logits, cache = jax.jit(
+        functools.partial(gpt.forward_cached, config=config, prefill=True)
+    )(params, idx=prompt[None, :], cache=cache, input_pos=jnp.asarray(0, jnp.int32))
     rng, step_rng = jax.random.split(rng)
     tok = sample(step_rng, logits[0, -1], temperature, top_k)
 

@@ -255,6 +255,7 @@ def attn_forward(
     window: Optional[int] = None,
     layer_id: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    prefill: bool = False,
 ):
     B, T, C = x.shape
     qkv = _qkv_with_lora(p, config, x, rng)
@@ -296,17 +297,27 @@ def attn_forward(
             ks = lax.dynamic_update_slice(ks, k_sc, (0, slot, 0))
             vs = lax.dynamic_update_slice(vs, v_sc, (0, slot, 0))
             new_kv = (cache_k, cache_v, ks, vs)
-            y = attention(
-                q, cache_k, cache_v, scale=scale, mask=mask, k_scale=ks, v_scale=vs
-            )
+            if prefill:
+                # full-precision local K/V during prefill (also more accurate)
+                y = attention(q, k, v, scale=scale, causal=True)
+            else:
+                y = attention(
+                    q, cache_k, cache_v, scale=scale, mask=mask, k_scale=ks, v_scale=vs
+                )
         else:
             cache_k, cache_v = kv
             cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, slot, 0, 0))
             cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, slot, 0, 0))
             new_kv = (cache_k, cache_v)
-            y = attention(
-                q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), scale=scale, mask=mask
-            )
+            if prefill:
+                # prefill from position 0: attention over the cache equals
+                # causal attention over the just-computed K/V (slots beyond T
+                # are masked anyway) — the causal path is flash-eligible
+                y = attention(q, k, v, scale=scale, causal=True)
+            else:
+                y = attention(
+                    q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), scale=scale, mask=mask
+                )
     else:
         y = attention(q, k, v, scale=scale, causal=True, q_offset=q_offset, window=window)
 
@@ -388,12 +399,14 @@ def block_forward(
     window: Optional[int] = None,
     layer_id: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    prefill: bool = False,
 ):
     """One transformer block (``lit_gpt/model.py:158-180``)."""
     n_1 = apply_norm(p["norm_1"], x, config.norm_class, config.norm_eps)
     h, new_kv = attn_forward(
         p["attn"], config, n_1, cos, sin, kv=kv, slot=slot, mask=mask,
         q_offset=q_offset, window=window, layer_id=layer_id, rng=rng,
+        prefill=prefill,
     )
     mlp_rng = None if rng is None else jax.random.fold_in(rng, 7)
     if config.parallel_residual:
@@ -476,13 +489,17 @@ def forward_cached(
     idx: jnp.ndarray,  # [B, T] int32
     cache: KVCache,
     input_pos: jnp.ndarray,  # scalar int32: absolute position of idx[:, 0]
+    *,
+    prefill: bool = False,
 ) -> tuple[jnp.ndarray, KVCache]:
     """KV-cached forward for generation. ``idx`` holds ``T`` consecutive tokens
     starting at absolute position ``input_pos``. Returns (logits, new cache).
 
-    Prefill calls this with the whole prompt at ``input_pos=0``; decode calls
-    it with one token per step. Once ``input_pos >= S`` the cache behaves as a
-    rolling window over the last ``S`` tokens (reference: ``model.py:238-242``).
+    Prefill calls this with the whole prompt at ``input_pos=0`` (pass the
+    static ``prefill=True`` hint to route attention through the flash-eligible
+    causal path); decode calls it with one token per step. Once
+    ``input_pos >= S`` the cache behaves as a rolling window over the last
+    ``S`` tokens (reference: ``model.py:238-242``).
     """
     B, T = idx.shape
     S = cache.max_seq_length
@@ -507,7 +524,7 @@ def forward_cached(
             p_layer, layer_id, k_l, v_l, ks_l, vs_l = layer
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
-                slot=slot, mask=mask, layer_id=layer_id,
+                slot=slot, mask=mask, layer_id=layer_id, prefill=prefill,
             )
             return x, new_kv
 
@@ -521,7 +538,7 @@ def forward_cached(
             p_layer, layer_id, k_l, v_l = layer
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
-                layer_id=layer_id,
+                layer_id=layer_id, prefill=prefill,
             )
             return x, new_kv
 

@@ -39,7 +39,44 @@ def loss_fn(
     remat: bool = True,
     chunk_size: int = 128,
     shift: bool = True,
+    lm_head_chunk_size: int = 0,
 ) -> jnp.ndarray:
+    if lm_head_chunk_size > 0:
+        # chunk the lm_head matmul itself: the [B, T, V] logits never
+        # materialize (reference: lm_head_chunk_size, lit_gpt/lora.py:561-564
+        # + chunked CE over the pieces, finetune/lora.py:191-194)
+        from parrot_tpu.ops.linear import apply_linear
+
+        hidden = gpt.forward(params, config, input_ids, remat=remat, return_hidden=True)
+        if shift:
+            hidden, labels = hidden[:, :-1], labels[:, 1:]
+        B, T, D = hidden.shape
+        pad = (-T) % lm_head_chunk_size
+        if pad:
+            hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+            labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=-1)
+        n_chunks = hidden.shape[1] // lm_head_chunk_size
+        hidden = hidden.reshape(B, n_chunks, lm_head_chunk_size, D).swapaxes(0, 1)
+        labels_c = labels.reshape(B, n_chunks, lm_head_chunk_size).swapaxes(0, 1)
+
+        def chunk_step(carry, xs):
+            total, count = carry
+            h, y = xs
+            logits = apply_linear(
+                params["lm_head"], h, lora_scaling=gpt._lora_scaling(config)
+            ).astype(jnp.float32)
+            valid = y != -1
+            safe = jnp.where(valid, y, 0)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+            nll = jnp.where(valid, logz - gold, 0.0)
+            return (total + nll.sum(), count + valid.sum()), None
+
+        (total, count), _ = lax.scan(
+            chunk_step, (jnp.float32(0.0), jnp.int32(0)), (hidden, labels_c)
+        )
+        return total / jnp.maximum(count, 1)
+
     logits = gpt.forward(params, config, input_ids, remat=remat)
     if shift:
         # labels aligned with inputs: logits t predicts label t+1
@@ -57,6 +94,7 @@ def make_train_step(
     remat: bool = True,
     trainable_mask: Optional[Any] = None,
     shift: bool = True,
+    lm_head_chunk_size: int = 0,
 ):
     """Build a jittable ``(params, opt_state, batch) -> (params, opt_state,
     loss)`` step.
@@ -70,7 +108,10 @@ def make_train_step(
     """
 
     grad_fn = jax.value_and_grad(
-        functools.partial(loss_fn, config=config, remat=remat, shift=shift)
+        functools.partial(
+            loss_fn, config=config, remat=remat, shift=shift,
+            lm_head_chunk_size=lm_head_chunk_size,
+        )
     )
 
     def microbatch_grads(params, input_ids, labels):

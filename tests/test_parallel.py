@@ -84,6 +84,26 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(w1, w2, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_generation_matches_single_device():
+    """Tensor+fsdp-sharded params must generate the same tokens (greedy)."""
+    from parrot_tpu.generate import engine
+
+    params = gpt.init_params(CFG, jax.random.PRNGKey(3))
+    prompt = jnp.array([3, 1, 4], jnp.int32)
+    expected, n = engine.generate(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=10, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    mesh = mesh_lib.make_mesh(1, 2, 4)
+    sp = sharding.shard_params(mesh, params)
+    actual, n2 = engine.generate(
+        sp, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=10, temperature=0.0, cache_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
+    assert int(n) == int(n2)
+
+
 def test_quantized_params_shard_with_same_rules():
     from parrot_tpu.quantize.formats import quantize_int4
 
