@@ -18,6 +18,13 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: the falcon-7b decode program takes minutes to
+# compile cold; cache it across bench invocations
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 
