@@ -177,6 +177,29 @@ def test_convert_lit_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
 
 
+def test_batch_inference_script(tmp_path, capsys):
+    sys.path.insert(0, str(SCRIPTS))
+    import json
+
+    import batch_inference
+
+    checkpoint_dir, _ = make_checkpoint(tmp_path)
+    inp = tmp_path / "prompts.jsonl"
+    with open(inp, "w") as f:
+        for p in ("hello", "the cat sat", "one two three four"):
+            f.write(json.dumps({"prompt": p}) + "\n")
+    out = tmp_path / "outputs.jsonl"
+    batch_inference.main(
+        input_path=inp, output_path=out, checkpoint_dir=checkpoint_dir,
+        batch_size=2, max_new_tokens=6, temperature=0.0, precision="32-true",
+    )
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 3
+    assert all("output" in l and isinstance(l["output"], str) for l in lines)
+    # input order preserved
+    assert [l["prompt"] for l in lines] == ["hello", "the cat sat", "one two three four"]
+
+
 def test_cli_help_smoke():
     for script in ("generate.py", "chat.py", "finetune_lora.py", "quantize_gptq.py"):
         result = subprocess.run(
