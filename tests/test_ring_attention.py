@@ -1,0 +1,48 @@
+"""Ring attention vs full causal attention on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.ops.attention import attention
+from parrot_tpu.parallel import mesh as mesh_lib
+from parrot_tpu.parallel.ring_attention import ring_attention
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.mark.parametrize("groups", [4, 2, 1])
+def test_ring_matches_full_causal(groups):
+    B, T, N, H = 2, 64, 4, 16
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (B, T, N, H))
+    k = jax.random.normal(kk, (B, T, groups, H))
+    v = jax.random.normal(kv, (B, T, groups, H))
+    scale = 1.0 / np.sqrt(H)
+
+    expected = attention(q, k, v, scale=scale, causal=True)
+
+    mesh = mesh_lib.make_mesh(1, 8, 1)
+    actual = ring_attention(mesh, q, k, v, scale=scale, axis_name="fsdp")
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ring_on_4_device_subaxis():
+    B, T, N, H = 1, 32, 2, 8
+    rng = jax.random.PRNGKey(1)
+    q = jax.random.normal(rng, (B, T, N, H))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, N, H))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, T, N, H))
+    scale = 1.0 / np.sqrt(H)
+    expected = attention(q, k, v, scale=scale, causal=True)
+    mesh = mesh_lib.make_mesh(2, 4, 1)
+    actual = ring_attention(mesh, q, k, v, scale=scale, axis_name="fsdp")
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
