@@ -129,5 +129,4 @@ def ring_attention(
         inner, mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )(q, k, v)
