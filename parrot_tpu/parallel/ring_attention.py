@@ -71,6 +71,12 @@ def ring_attention_inner(
     m0 = jnp.full((B, N, Tl), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, N, Tl), jnp.float32)
     acc0 = jnp.zeros(q.shape, jnp.float32)
+    # the loop outputs depend on axis_index (device-varying); mark the
+    # device-invariant initial stats accordingly for the vma type system
+    if hasattr(lax, "pcast"):
+        m0, l0, acc0 = (lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, acc0))
+    elif hasattr(lax, "pvary"):
+        m0, l0, acc0 = (lax.pvary(x, (axis_name,)) for x in (m0, l0, acc0))
 
     def step(i, carry):
         k_blk, v_blk, m, l, acc = carry
