@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Serving benchmark: TTFT, per-token decode latency, batched throughput.
+
+Measures the BASELINE.json serving metrics (p50 TTFT; tokens/sec/chip) for
+any checkpoint/quantization combination. Synthetic prompts; results as JSON.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+wd = Path(__file__).parent.parent.resolve()
+sys.path.insert(0, str(wd))
+
+
+def main(
+    checkpoint_dir: Optional[Path] = None,
+    model_name: Optional[str] = None,
+    quantize: Optional[str] = None,
+    precision: str = "bf16-true",
+    prompt_length: int = 128,
+    max_new_tokens: int = 64,
+    batch_size: int = 1,
+    n_trials: int = 5,
+    kv_cache: str = "bf16",
+    seed: int = 0,
+) -> None:
+    """Benchmarks the serving path.
+
+    Args:
+        checkpoint_dir: Checkpoint to load (real weights).
+        model_name: Registry name for random weights (bf16, or quantized via
+            --quantize gptq.int4/bnb.int8) when no checkpoint_dir is given.
+        quantize: Quantization mode.
+        precision: bf16-true or 32-true.
+        prompt_length: Synthetic prompt length (TTFT depends on it).
+        max_new_tokens: Decode steps per trial.
+        batch_size: Concurrent sequences (ragged batch engine when > 1).
+        n_trials: Timed repetitions (after a compile warmup).
+        kv_cache: bf16 | int8.
+        seed: PRNG seed.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parrot_tpu.models import gpt
+    from parrot_tpu.ops.sampling import sample
+
+    if checkpoint_dir is not None:
+        from parrot_tpu.generate.loader import load_model
+
+        config, params, _ = load_model(checkpoint_dir, quantize, precision)
+    else:
+        from parrot_tpu.config import Config
+        from parrot_tpu.quantize import api
+
+        assert model_name, "--model_name or --checkpoint_dir required"
+        config = Config.from_name(model_name)
+        if quantize in ("gptq.int4", "bnb.int8"):
+            params = api.init_quantized_params(config, jax.random.PRNGKey(0), quantize)
+        else:
+            params = gpt.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    cache_dtype = jnp.int8 if kv_cache == "int8" else jnp.bfloat16
+    S = min(prompt_length + max_new_tokens, config.block_size)
+    B = batch_size
+    rng = jax.random.PRNGKey(seed)
+    prompt = jnp.asarray(
+        np.random.RandomState(seed).randint(0, config.vocab_size, (B, prompt_length)),
+        jnp.int32,
+    )
+
+    prefill = jax.jit(lambda p, idx, cache: gpt.forward_cached(
+        p, config, idx, cache, jnp.asarray(0, jnp.int32), prefill=True
+    ))
+
+    if B == 1:
+        @jax.jit
+        def decode_step(p, tok, cache, pos, r):
+            logits, cache = gpt.forward_cached(p, config, tok[None, None], cache, pos)
+            return sample(r, logits[0, -1], 0.8, 200), cache
+    else:
+        @jax.jit
+        def decode_step(p, toks, cache, positions, r):
+            logits, cache = gpt.forward_decode_batched(p, config, toks[:, None], cache, positions)
+            return sample(r, logits[:, 0], 0.8, 200), cache
+
+    ttfts, step_times = [], []
+    for trial in range(n_trials + 1):  # first = compile warmup
+        cache = gpt.KVCache.init(config, B, S, dtype=cache_dtype)
+        t0 = time.perf_counter()
+        logits, cache = prefill(params, prompt, cache)
+        tok = sample(rng, logits[:, -1], 0.8, 200)
+        first = int(tok[0] if B > 1 else tok[0])  # hard sync
+        ttft = time.perf_counter() - t0
+        pos = prompt_length
+        t1 = time.perf_counter()
+        for i in range(max_new_tokens):
+            rng2 = jax.random.fold_in(rng, trial * 1000 + i)
+            if B == 1:
+                tok1, cache = decode_step(params, tok[0], cache, jnp.asarray(pos), rng2)
+                tok = tok1[None]
+            else:
+                tok, cache = decode_step(
+                    params, tok, cache, jnp.full((B,), pos, jnp.int32), rng2
+                )
+            pos += 1
+        int(tok[0])  # hard sync
+        dt = (time.perf_counter() - t1) / max_new_tokens
+        if trial > 0:
+            ttfts.append(ttft)
+            step_times.append(dt)
+
+    result = {
+        "model": config.name,
+        "quantize": quantize,
+        "kv_cache": kv_cache,
+        "batch_size": B,
+        "prompt_length": prompt_length,
+        "ttft_p50_ms": round(float(np.median(ttfts)) * 1e3, 2),
+        "decode_ms_per_token": round(float(np.median(step_times)) * 1e3, 3),
+        "decode_tok_s": round(B / float(np.median(step_times)), 2),
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    from parrot_tpu.utils.cli import cli
+
+    cli(main)
