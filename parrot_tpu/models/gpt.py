@@ -256,6 +256,7 @@ def attn_forward(
     layer_id: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     prefill: bool = False,
+    context_parallel=None,  # (Mesh, axis_name): ring attention over that axis
 ):
     B, T, C = x.shape
     qkv = _qkv_with_lora(p, config, x, rng)
@@ -318,6 +319,11 @@ def attn_forward(
                 y = attention(
                     q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), scale=scale, mask=mask
                 )
+    elif context_parallel is not None:
+        from parrot_tpu.parallel.ring_attention import ring_attention
+
+        cp_mesh, cp_axis = context_parallel
+        y = ring_attention(cp_mesh, q, k, v, scale=scale, axis_name=cp_axis)
     else:
         y = attention(q, k, v, scale=scale, causal=True, q_offset=q_offset, window=window)
 
@@ -400,13 +406,14 @@ def block_forward(
     layer_id: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     prefill: bool = False,
+    context_parallel=None,
 ):
     """One transformer block (``lit_gpt/model.py:158-180``)."""
     n_1 = apply_norm(p["norm_1"], x, config.norm_class, config.norm_eps)
     h, new_kv = attn_forward(
         p["attn"], config, n_1, cos, sin, kv=kv, slot=slot, mask=mask,
         q_offset=q_offset, window=window, layer_id=layer_id, rng=rng,
-        prefill=prefill,
+        prefill=prefill, context_parallel=context_parallel,
     )
     mlp_rng = None if rng is None else jax.random.fold_in(rng, 7)
     if config.parallel_residual:
@@ -447,6 +454,7 @@ def forward(
     window: Optional[int] = None,
     dropout_rng: Optional[jax.Array] = None,
     return_hidden: bool = False,
+    context_parallel=None,
 ) -> jnp.ndarray:
     """Full-context causal forward (training / eval). Returns logits [B, T, V]
     (or the final hidden states when ``return_hidden`` — used for chunked
@@ -455,6 +463,8 @@ def forward(
     ``window=W`` restricts attention to a sliding window of the last ``W``
     positions — the full-context equivalent of rolling-KV-cache decoding.
     ``dropout_rng`` enables PEFT branch dropout (training only).
+    ``context_parallel=(mesh, axis)`` shards the sequence over that mesh axis
+    and runs ring attention (long-context training).
     """
     T = idx.shape[1]
     L = config.n_layer
@@ -468,7 +478,8 @@ def forward(
     def step(x, layer):
         p_layer, layer_id, rng = layer if layer_rngs is not None else (*layer, None)
         x, _ = block_forward(
-            p_layer, config, x, cos, sin, window=window, layer_id=layer_id, rng=rng
+            p_layer, config, x, cos, sin, window=window, layer_id=layer_id, rng=rng,
+            context_parallel=context_parallel,
         )
         return x, None
 

@@ -33,6 +33,25 @@ def test_ring_matches_full_causal(groups):
     )
 
 
+def test_context_parallel_forward_matches_plain():
+    """gpt.forward(context_parallel=...) must reproduce the plain forward."""
+    from parrot_tpu.config import Config
+    from parrot_tpu.models import gpt
+
+    config = Config(
+        name="cp-tiny", block_size=64, vocab_size=64, padded_vocab_size=64,
+        n_layer=2, n_head=4, n_query_groups=2, n_embd=32, rotary_percentage=1.0,
+    )
+    params = gpt.init_params(config, jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 64)), jnp.int32)
+    expected = gpt.forward(params, config, tokens)
+    mesh = mesh_lib.make_mesh(1, 8, 1)
+    actual = gpt.forward(params, config, tokens, context_parallel=(mesh, "fsdp"))
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_ring_on_4_device_subaxis():
     B, T, N, H = 1, 32, 2, 8
     rng = jax.random.PRNGKey(1)
