@@ -12,6 +12,7 @@ BENCH_MODE=bf16-3b selects the older StableLM-3B bf16 bench
 (vs tutorials/tpus.md:55, 25 tok/s on a v4-8).
 """
 
+import functools
 import json
 import os
 import sys
@@ -34,7 +35,9 @@ def bench_decode(config, params, cache_dtype, n_steps: int = 96) -> float:
 
     cache = gpt.KVCache.init(config, 1, 512, dtype=cache_dtype)
 
-    @jax.jit
+    # donate the cache: without donation every step round-trips the whole
+    # cache through fresh HBM buffers
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def step(params, tok, cache, pos, rng):
         logits, cache = gpt.forward_cached(params, config, tok[None, None], cache, pos)
         return sample(rng, logits[0, -1], temperature=0.8, top_k=200), cache

@@ -197,7 +197,7 @@ def generate_stream(
 
     step_fn = jax.jit(
         functools.partial(_decode_step, config=config, temperature=temperature, top_k=top_k),
-        static_argnames=(),
+        donate_argnums=(2,),  # reuse the cache buffers in place
     )
 
     cache = KVCache.init(config, 1, S, dtype=cache_dtype)

@@ -77,13 +77,15 @@ def main(
         p, config, idx, cache, jnp.asarray(0, jnp.int32), prefill=True
     ))
 
+    import functools
+
     if B == 1:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(p, tok, cache, pos, r):
             logits, cache = gpt.forward_cached(p, config, tok[None, None], cache, pos)
             return sample(r, logits[0, -1], 0.8, 200), cache
     else:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(p, toks, cache, positions, r):
             logits, cache = gpt.forward_decode_batched(p, config, toks[:, None], cache, positions)
             return sample(r, logits[:, 0], 0.8, 200), cache
