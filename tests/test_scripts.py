@@ -177,6 +177,42 @@ def test_convert_lit_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
 
 
+def test_evaluate_perplexity_script(tmp_path, capsys):
+    sys.path.insert(0, str(SCRIPTS))
+    import evaluate_perplexity
+
+    checkpoint_dir, _ = make_checkpoint(tmp_path)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog. " * 40)
+    ppl = evaluate_perplexity.main(
+        checkpoint_dir=checkpoint_dir, data_path=corpus, precision="32-true",
+        block_size=64, batch_size=2,
+    )
+    assert np.isfinite(ppl) and ppl > 1.0
+    # int8 RTN on a random model stays in the same ballpark
+    ppl8 = evaluate_perplexity.main(
+        checkpoint_dir=checkpoint_dir, data_path=corpus, precision="32-true",
+        block_size=64, batch_size=2, quantize="bnb.int8",
+    )
+    assert np.isfinite(ppl8)
+    assert abs(np.log(ppl8) - np.log(ppl)) < 0.2
+
+
+def test_sampling_top_p():
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.ops.sampling import sample, top_p_mask
+
+    logits = jnp.log(jnp.asarray([0.5, 0.3, 0.15, 0.05]))
+    masked = top_p_mask(logits, 0.7)
+    # 0.5 + 0.3 >= 0.7 -> only the top two survive
+    assert np.isfinite(np.asarray(masked)[:2]).all()
+    assert np.isneginf(np.asarray(masked)[2:]).all()
+    draws = {int(sample(jax.random.PRNGKey(i), logits, 1.0, top_p=0.7)) for i in range(50)}
+    assert draws <= {0, 1}
+
+
 def test_batch_inference_script(tmp_path, capsys):
     sys.path.insert(0, str(SCRIPTS))
     import json
