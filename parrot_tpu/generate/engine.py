@@ -32,7 +32,7 @@ from parrot_tpu.ops.sampling import sample
     jax.jit,
     static_argnames=(
         "config", "max_returned_tokens", "max_seq_length", "temperature", "top_k",
-        "eos_id", "cache_dtype",
+        "top_p", "eos_id", "cache_dtype",
     ),
 )
 def generate(
@@ -45,6 +45,7 @@ def generate(
     max_seq_length: Optional[int] = None,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     cache_dtype: jnp.dtype = jnp.bfloat16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -74,7 +75,7 @@ def generate(
         params, config, prompt[None, :], cache, jnp.asarray(0, jnp.int32), prefill=True
     )
     rng, step_rng = jax.random.split(rng)
-    next_tok = sample(step_rng, logits[0, -1], temperature, top_k)
+    next_tok = sample(step_rng, logits[0, -1], temperature, top_k, top_p)
 
     def cond(state):
         tokens, cache, pos, cur, rng, done = state
@@ -88,7 +89,7 @@ def generate(
             params, config, cur[None, None], cache, pos
         )
         rng, step_rng = jax.random.split(rng)
-        nxt = sample(step_rng, logits[0, -1], temperature, top_k)
+        nxt = sample(step_rng, logits[0, -1], temperature, top_k, top_p)
         return (tokens, cache, pos + 1, nxt, rng, is_eos)
 
     state = (tokens, cache, jnp.asarray(T, jnp.int32), next_tok, rng, jnp.asarray(False))
@@ -100,7 +101,7 @@ def generate(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "max_returned_tokens", "temperature", "top_k", "eos_id", "cache_dtype",
+        "config", "max_returned_tokens", "temperature", "top_k", "top_p", "eos_id", "cache_dtype",
     ),
 )
 def generate_batch(
@@ -113,6 +114,7 @@ def generate_batch(
     max_returned_tokens: int,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     cache_dtype: jnp.dtype = jnp.bfloat16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -142,7 +144,7 @@ def generate_batch(
         logits, (prompt_lengths - 1)[:, None, None], axis=1
     )[:, 0]  # [B, V]
     rng, step_rng = jax.random.split(rng)
-    cur = sample(step_rng, last, temperature, top_k)  # [B]
+    cur = sample(step_rng, last, temperature, top_k, top_p)  # [B]
 
     def cond(state):
         tokens, cache, lengths, cur, rng, done = state
@@ -163,7 +165,7 @@ def generate_batch(
             params, config, cur[:, None], cache, jnp.minimum(lengths - 1, R - 1)
         )
         rng, step_rng = jax.random.split(rng)
-        nxt = sample(step_rng, logits[:, 0], temperature, top_k)
+        nxt = sample(step_rng, logits[:, 0], temperature, top_k, top_p)
         return tokens, cache, lengths, nxt, rng, done
 
     state = (tokens, cache, prompt_lengths.astype(jnp.int32), cur, rng,
@@ -182,6 +184,7 @@ def generate_stream(
     max_seq_length: Optional[int] = None,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     stop_tokens: tuple[tuple[int, ...], ...] = (),
     cache_dtype: jnp.dtype = jnp.bfloat16,
 ) -> Iterator[int]:
@@ -196,7 +199,7 @@ def generate_stream(
     S = min(max_seq_length or R, config.block_size)
 
     step_fn = jax.jit(
-        functools.partial(_decode_step, config=config, temperature=temperature, top_k=top_k),
+        functools.partial(_decode_step, config=config, temperature=temperature, top_k=top_k, top_p=top_p),
         donate_argnums=(2,),  # reuse the cache buffers in place
     )
 
@@ -205,7 +208,7 @@ def generate_stream(
         functools.partial(gpt.forward_cached, config=config, prefill=True)
     )(params, idx=prompt[None, :], cache=cache, input_pos=jnp.asarray(0, jnp.int32))
     rng, step_rng = jax.random.split(rng)
-    tok = sample(step_rng, logits[0, -1], temperature, top_k)
+    tok = sample(step_rng, logits[0, -1], temperature, top_k, top_p)
 
     def _tail_is_stop(buf: list[int]) -> bool:
         return any(len(buf) >= len(s) and tuple(buf[-len(s):]) == s for s in stop_tokens)
@@ -230,7 +233,7 @@ def generate_stream(
     yield from buffer
 
 
-def _decode_step(params, tok, cache, pos, rng, *, config, temperature, top_k):
+def _decode_step(params, tok, cache, pos, rng, *, config, temperature, top_k, top_p=None):
     logits, cache = gpt.forward_cached(params, config, tok[None, None], cache, pos)
-    nxt = sample(rng, logits[0, -1], temperature, top_k)
+    nxt = sample(rng, logits[0, -1], temperature, top_k, top_p)
     return nxt, cache
