@@ -77,9 +77,9 @@ def _unpack_tile(packed: jnp.ndarray) -> jnp.ndarray:
     """
     half = formats.PACK_BLOCK // 2  # packed rows per block
     rows, N = packed.shape
-    p32 = packed.astype(jnp.int32)
+    p32 = packed.astype(jnp.int32)  # zero-extends: high bits are already 0
     lo = p32 & 0xF
-    hi = (p32 >> 4) & 0xF
+    hi = p32 >> 4
     if rows == half:
         return jnp.concatenate([lo, hi], axis=0)
     n_blocks = rows // half
