@@ -157,6 +157,105 @@ def _int4_kernel(
 
 
 # ---------------------------------------------------------------------------
+# int4 weights x int8 activations on the int8 MXU (the fast decode path)
+# ---------------------------------------------------------------------------
+
+
+def _int4_w8a8_kernel(
+    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
+    k_tile: int,
+):
+    """Contract raw int4 codes on the int8 MXU without ever dequantizing.
+
+    Per K-tile: activations quantize to int8 with a per-(row, tile) scale;
+    nibbles stay packed — the hi-nibble dot is recovered algebraically:
+
+        p = lo + 16*hi,  p_s8 = bitcast(p ^ 0x80) = p - 128
+        x·hi = (x·p_s8 + 128·Σx − x·lo) / 16        (exact in s32)
+
+    so the only elementwise work is one i8 AND and one i8 XOR (quarter-cost
+    VPU passes) plus the tiny [M, k_tile] activation quantization; the three
+    [M,128]x[128,N] int8 dots run at the MXU's doubled int8 rate. Numerics:
+    weights exact; activations int8 per (row, k_tile) group (W8A8).
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.float32)  # [M, k_tile]
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    sx = jnp.where(absmax == 0, 1.0, absmax / 127.0)  # [M, 1]
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+
+    packed = qw_ref[:]  # [k_tile//2, N] uint8
+    lo = (packed & 0xF).astype(jnp.int8)
+    p_s8 = pltpu.bitcast(packed ^ 0x80, jnp.int8)
+
+    half = formats.PACK_BLOCK // 2  # 128 unpacked rows per nibble half
+    n_blocks = k_tile // formats.PACK_BLOCK
+    y_int = jnp.zeros(acc_ref.shape, jnp.int32)
+    xsum_all = jnp.zeros((x.shape[0], 1), jnp.int32)
+    for blk in range(n_blocks):
+        xa = xq[:, blk * 2 * half : blk * 2 * half + half]
+        xb = xq[:, blk * 2 * half + half : (blk + 1) * 2 * half]
+        lo_b = lo[blk * half : (blk + 1) * half]
+        p_b = p_s8[blk * half : (blk + 1) * half]
+        da = jnp.dot(xa, lo_b, preferred_element_type=jnp.int32)
+        dp = jnp.dot(xb, p_b, preferred_element_type=jnp.int32)
+        dl = jnp.dot(xb, lo_b, preferred_element_type=jnp.int32)
+        sum_xb = jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
+        y_int = y_int + da + ((dp + 128 * sum_xb - dl) >> 4)
+        xsum_all = xsum_all + sum_xb + jnp.sum(xa.astype(jnp.int32), axis=1, keepdims=True)
+
+    # dequant epilogue: y_fp = sx * s_g * (y_int - z_g * Σxq)
+    groups_per_tile = max(1, k_tile // gs)
+    if groups_per_tile == 1:
+        row = (k * k_tile) // gs
+        s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        acc_ref[:] += sx * s * (y_int.astype(jnp.float32) - z * xsum_all.astype(jnp.float32))
+    else:
+        # multiple scale groups inside one tile: fall back is handled by the
+        # wrapper (it requires gs >= k_tile for this kernel)
+        raise NotImplementedError
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+# opt-in switch for the W8A8 decode path (activation int8 changes numerics)
+W8A8 = False
+
+
+def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
+    Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
+    gs = Kp if p.group_size == -1 else p.group_size
+    k_tile = _pick_k_tile(Kp)
+    if Kp % formats.PACK_BLOCK or gs % k_tile != 0:
+        return int4_matmul(p, x)  # grouped finer than a tile: standard kernel
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
+    n_k = Kp // k_tile
+    n_groups = Kp // gs
+    kernel = functools.partial(_int4_w8a8_kernel, n_k=n_k, gs=gs, k_tile=k_tile)
+    y = _common_call(
+        kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
+        [
+            pl.BlockSpec(
+                (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
+        x.dtype,
+    )
+    return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
+
+
+# ---------------------------------------------------------------------------
 # NF4 / FP4 (codebook, per-block absmax)
 # ---------------------------------------------------------------------------
 

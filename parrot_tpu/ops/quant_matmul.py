@@ -39,6 +39,8 @@ def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
         if _on_tpu():
             from parrot_tpu.ops import pallas_quant
 
+            if p.fmt == "int4" and pallas_quant.W8A8:
+                return pallas_quant.int4_matmul_w8a8(p, x)
             return pallas_quant.int4_matmul(p, x)
         w = formats.dequantize(p, dtype=x.dtype)
         return jnp.dot(x, w)

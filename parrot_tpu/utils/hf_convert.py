@@ -54,10 +54,18 @@ _NEOX_MAP = {
     "embed_out.weight": ("lm_head.w", True),
 }
 
-_FALCON_7B_MAP = {
+# one map serves both falcon variants: 7b names its single norm
+# "input_layernorm", 40b uses "ln_attn"/"ln_mlp" — the source names never
+# collide, so presence in the shard decides (the reference picks by
+# n_embd == 8192 instead, convert_hf_checkpoint.py:197)
+_FALCON_MAP = {
     "transformer.word_embeddings.weight": ("wte.weight", False),
     "transformer.h.{L}.input_layernorm.weight": ("blocks.norm_1.scale", False),
     "transformer.h.{L}.input_layernorm.bias": ("blocks.norm_1.bias", False),
+    "transformer.h.{L}.ln_attn.weight": ("blocks.norm_1.scale", False),
+    "transformer.h.{L}.ln_attn.bias": ("blocks.norm_1.bias", False),
+    "transformer.h.{L}.ln_mlp.weight": ("blocks.norm_2.scale", False),
+    "transformer.h.{L}.ln_mlp.bias": ("blocks.norm_2.bias", False),
     "transformer.h.{L}.self_attention.query_key_value.weight": ("blocks.attn.qkv.w", True),
     "transformer.h.{L}.self_attention.dense.weight": ("blocks.attn.proj.w", True),
     "transformer.h.{L}.mlp.dense_h_to_4h.weight": ("blocks.mlp.fc.w", True),
@@ -66,16 +74,6 @@ _FALCON_7B_MAP = {
     "transformer.ln_f.bias": ("ln_f.bias", False),
     "lm_head.weight": ("lm_head.w", True),
 }
-
-_FALCON_40B_MAP = dict(_FALCON_7B_MAP)
-del _FALCON_40B_MAP["transformer.h.{L}.input_layernorm.weight"]
-del _FALCON_40B_MAP["transformer.h.{L}.input_layernorm.bias"]
-_FALCON_40B_MAP.update({
-    "transformer.h.{L}.ln_attn.weight": ("blocks.norm_1.scale", False),
-    "transformer.h.{L}.ln_attn.bias": ("blocks.norm_1.bias", False),
-    "transformer.h.{L}.ln_mlp.weight": ("blocks.norm_2.scale", False),
-    "transformer.h.{L}.ln_mlp.bias": ("blocks.norm_2.bias", False),
-})
 
 _LLAMA_MAP = {
     "model.embed_tokens.weight": ("wte.weight", False),
@@ -99,7 +97,7 @@ _IGNORED = re.compile(
 
 def weight_map_for(config: Config) -> dict:
     if "falcon" in config.name:
-        return _FALCON_40B_MAP if config.n_embd == 8192 else _FALCON_7B_MAP
+        return _FALCON_MAP
     if config.mlp_class == "LLaMAMLP":
         return _LLAMA_MAP
     return _NEOX_MAP
@@ -269,6 +267,10 @@ def convert_to_hf_state_dict(config: Config, params: dict) -> dict[str, np.ndarr
         if path.startswith("__qkv_"):
             continue
         inverse[path] = (hf_pattern, transpose)
+    if "falcon" in config.name and config.shared_attention_norm:
+        # 7b variant: the single norm is named input_layernorm, not ln_attn
+        inverse["blocks.norm_1.scale"] = ("transformer.h.{L}.input_layernorm.weight", False)
+        inverse["blocks.norm_1.bias"] = ("transformer.h.{L}.input_layernorm.bias", False)
 
     def emit(path: str, arr: np.ndarray, layer: int | None) -> None:
         if path not in inverse:

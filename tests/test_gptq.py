@@ -55,6 +55,38 @@ def test_gptq_beats_rtn_on_correlated_inputs(groupsize):
     assert gptq_err < rtn_err, (gptq_err, rtn_err)
 
 
+def test_gptq_actorder_runs_and_helps_or_matches():
+    rng = np.random.RandomState(1)
+    K, N, S = 64, 32, 256
+    # wildly uneven per-column activation scales: actorder's target case
+    col_scale = np.exp(rng.randn(K) * 2)
+    x = jnp.asarray(rng.randn(S, K) * col_scale[None, :], jnp.float32)
+    w = jnp.asarray(rng.randn(K, N) * 0.1, jnp.float32)
+    H, n = gptq.init_hessian(K)
+    H, n = gptq.accumulate_hessian(H, n, x[None])
+
+    def err_of(actorder):
+        codes, scales, zeros, _ = gptq.gptq_quantize_matrix(
+            w, H, blocksize=16, actorder=actorder
+        )
+        q = formats.QuantizedLinear(
+            qw=formats.pack_nibbles(codes), scales=scales, zeros=zeros,
+            fmt="int4", group_size=-1, in_features=K, out_features=N,
+        )
+        return _calib_error(w, formats.dequantize(q), x)
+
+    plain, ordered = err_of(False), err_of(True)
+    assert np.isfinite(ordered)
+    assert ordered <= plain * 1.5  # typically better; never catastrophically worse
+
+
+def test_gptq_actorder_rejects_grouping():
+    w = jnp.zeros((64, 32))
+    H = jnp.eye(64)
+    with pytest.raises(ValueError, match="actorder"):
+        gptq.gptq_quantize_matrix(w, H, groupsize=32, actorder=True)
+
+
 def test_blockwise_gptq_end_to_end():
     config = Config(
         name="gptq-tiny",

@@ -156,6 +156,49 @@ def test_falcon_parity():
     np.testing.assert_allclose(actual, expected, rtol=1e-4, atol=2e-4)
 
 
+def test_falcon_40b_style_parity():
+    """falcon-40b architecture: GQA + parallel residual with separate attn/mlp
+    norms (new_decoder_architecture)."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    torch.manual_seed(0)
+    hf_config = FalconConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_kv_heads=2,
+        bias=False,
+        new_decoder_architecture=True,
+        alibi=False,
+        layer_norm_epsilon=1e-5,
+        use_cache=False,
+    )
+    hf_model = FalconForCausalLM(hf_config).eval()
+
+    config = Config(
+        name="falcon-tiny-40b",
+        block_size=64,
+        vocab_size=128,
+        padded_vocab_size=128,
+        n_layer=2,
+        n_head=8,
+        n_embd=64,
+        rotary_percentage=1.0,
+        parallel_residual=True,
+        n_query_groups=2,
+        bias=False,
+        norm_eps=1e-5,
+    )
+    params = convert_hf_state_dict(config, iter([hf_state_numpy(hf_model)]))
+
+    tokens = np.random.RandomState(7).randint(0, 128, size=(2, 9))
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(tokens)).logits.numpy()
+    actual = run_parrot(config, params, tokens)
+    np.testing.assert_allclose(actual, expected, rtol=1e-4, atol=2e-4)
+
+
 def test_kv_cache_decode_matches_full_forward():
     """Reference invariant (``tests/test_model.py:228-259``): decoding with the
     kv cache must reproduce the full-context logits."""

@@ -57,6 +57,21 @@ def test_codebook_kernel(fmt, double_quant):
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("group_size", [-1, 512])
+def test_int4_w8a8_kernel(group_size):
+    K, N = 512, 256
+    w = jax.random.normal(jax.random.PRNGKey(8), (K, N)) * 0.1
+    p = formats.quantize_int4(w, group_size=group_size)
+    x = mk_x(1, K, seed=9)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int4_matmul_w8a8(p, x)
+    # activations are int8-quantized per (row, tile): ~1% relative error
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=5e-2, atol=5e-2)
+    err = np.abs(np.asarray(actual) - np.asarray(expected)).max()
+    scale = np.abs(np.asarray(expected)).max()
+    assert err / scale < 0.02
+
+
 def test_batched_input_shape():
     K, N = 512, 128
     w = jax.random.normal(jax.random.PRNGKey(6), (K, N)) * 0.1
