@@ -45,13 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 from parrot_tpu.quantize import formats
 
 # Tiles sized for HBM streaming: per grid step the kernel moves a
-# [K_TILE/2, N_TILE] packed block (128 KB at 512x512), big enough that
-# per-step pipeline overhead (DMA setup, semaphores, index math) amortizes —
-# at [256, 128] tiles the kernel measures ~20 GB/s, at [512, 512] it
-# approaches the HBM roofline. K_TILE spans two PACK_BLOCKs (unpack = two
-# sublane concats); N edge blocks may be partial (Pallas masks them).
+# [K_TILE/2, N_TILE] packed block (1 MB at 512x4096) so per-step pipeline
+# overhead (DMA setup, semaphores, index math) amortizes. Swept in-model on
+# v5e (3B int4 decode): N_TILE 128 -> 512 -> 1024 -> 2048 -> 4096 gives
+# 54 -> 134 -> 147 -> 155 -> 162 tok/s; K_TILE=1024 and a hand-blocked
+# contiguous weight layout both measured worse (XLA's native tiled array
+# layout already serves the DMA well). K_TILE spans two PACK_BLOCKs (unpack
+# = two sublane concats); N edge blocks may be partial (Pallas masks them).
 K_TILE = 2 * formats.PACK_BLOCK  # 512 unpacked rows = 256 packed rows
-N_TILE = 512
+N_TILE = 4096
 M_TILE = 128
 
 _INTERPRET = False  # flipped by tests on CPU
