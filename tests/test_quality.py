@@ -1,0 +1,91 @@
+"""Quantization quality on a *trained* model (no real checkpoints are
+reachable in this environment, so train a tiny model until it has real
+structure, then measure the perplexity deltas the reference publishes as its
+quality bar — BASELINE.md ppl-delta-vs-fp16 rows)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.config import Config
+from parrot_tpu.models import gpt
+from parrot_tpu.quantize import api
+from parrot_tpu.training import optim, train
+
+CFG = Config(
+    name="quality-tiny", block_size=64, vocab_size=32, padded_vocab_size=32,
+    n_layer=2, n_head=4, n_embd=64, rotary_percentage=1.0,
+)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Train on a highly structured corpus until loss is well below uniform."""
+    rng = np.random.RandomState(0)
+    # a deterministic pattern language: abcabc... with mod structure
+    seq = np.asarray([(3 * i + (i * i) % 7) % 32 for i in range(4096)], np.int32)
+
+    params = gpt.init_params(CFG, jax.random.PRNGKey(0))
+    optimizer = optim.adamw(3e-3, weight_decay=0.0)
+    opt_state = optimizer.init(params)
+    step = jax.jit(train.make_train_step(CFG, optimizer, remat=False))
+    for it in range(150):
+        ix = rng.randint(0, len(seq) - 65, size=8)
+        batch_tokens = np.stack([seq[i : i + 64] for i in ix])
+        batch = {"input_ids": jnp.asarray(batch_tokens), "labels": jnp.asarray(batch_tokens)}
+        params, opt_state, loss = step(params, opt_state, batch)
+    final = float(loss)
+    assert final < 1.5, f"tiny model failed to learn (loss {final})"
+
+    eval_tokens = jnp.asarray(np.stack([seq[i : i + 64] for i in range(0, 1024, 64)]))
+    return params, eval_tokens
+
+
+def _ppl(params, tokens):
+    from parrot_tpu.ops.cross_entropy import cross_entropy
+
+    logits = gpt.forward(params, CFG, tokens)
+    return float(jnp.exp(cross_entropy(logits[:, :-1], tokens[:, 1:])))
+
+
+def test_quantized_ppl_deltas(trained):
+    params, eval_tokens = trained
+    fp = _ppl(params, eval_tokens)
+    assert fp < 4.0
+
+    deltas = {}
+    for mode in ("bnb.int8", "bnb.nf4", "gptq.int4"):
+        q = api.quantize_params(params, CFG, mode)
+        deltas[mode] = _ppl(q, eval_tokens) - fp
+    # the reference's quality bar: int8 nearly lossless; 4-bit small delta
+    assert abs(deltas["bnb.int8"]) < 0.05 * fp, deltas
+    assert abs(deltas["bnb.nf4"]) < 0.35 * fp, deltas
+    assert abs(deltas["gptq.int4"]) < 0.6 * fp, deltas
+
+
+def test_calibrated_gptq_beats_rtn_ppl(trained):
+    params, eval_tokens = trained
+    fp = _ppl(params, eval_tokens)
+    rtn = api.quantize_params(params, CFG, "gptq.int4")  # RTN int4
+    calib, _ = api.quantize_model_gptq(
+        params, CFG, eval_tokens, blocksize=16, batch_size=8, log=None
+    )
+    ppl_rtn = _ppl(rtn, eval_tokens)
+    ppl_calib = _ppl(calib, eval_tokens)
+    # calibration must not be (meaningfully) worse, and usually helps
+    assert ppl_calib <= ppl_rtn * 1.05, (fp, ppl_rtn, ppl_calib)
+
+
+def test_int8_kv_cache_ppl_effect(trained):
+    """INT8 KV decode must track fp logits on a trained model too."""
+    params, eval_tokens = trained
+    tok = eval_tokens[:1]
+    fp_cache = gpt.KVCache.init(CFG, 1, 64, dtype=jnp.float32)
+    q_cache = gpt.KVCache.init(CFG, 1, 64, dtype=jnp.int8)
+    lf, _ = gpt.forward_cached(params, CFG, tok, fp_cache, jnp.asarray(0))
+    lq, _ = gpt.forward_cached(params, CFG, tok, q_cache, jnp.asarray(0))
+    top_fp = np.asarray(jnp.argmax(lf, -1))
+    top_q = np.asarray(jnp.argmax(lq, -1))
+    agreement = (top_fp == top_q).mean()
+    assert agreement > 0.97, agreement
