@@ -18,13 +18,11 @@ running statistics; the diagonal block applies the intra-chunk causal mask.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = float(np.finfo(np.float32).min)
 

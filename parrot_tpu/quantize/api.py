@@ -94,7 +94,6 @@ def init_quantized_params(
     real checkpoints."""
     import numpy as np
 
-    from parrot_tpu.models import gpt as gpt_model
     from parrot_tpu.quantize.formats import (
         K_ALIGN, N_ALIGN, _round_up, pack_nibbles,
     )
@@ -111,7 +110,6 @@ def init_quantized_params(
         shape_prefix = (stack,) if stack else ()
         if mode == "gptq.int4":
             codes = rs.randint(0, 16, size=shape_prefix + (kp, np_)).astype(np.uint8)
-            packed = np.concatenate  # packed per stack element below
             if stack:
                 qw = np.stack([np.asarray(pack_nibbles(jnp.asarray(c))) for c in codes])
             else:

@@ -25,10 +25,8 @@ quantizing a checkpoint only replaces pytree leaf-groups.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
