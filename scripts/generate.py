@@ -20,6 +20,8 @@ def main(
     checkpoint_dir: Path = Path("checkpoints/stabilityai/stablelm-base-alpha-3b"),
     quantize: Optional[str] = None,
     precision: str = "bf16-true",
+    kv_cache: str = "bf16",
+    mesh: Optional[str] = None,
     seed: int = 1234,
 ) -> None:
     """Generates text samples based on a pre-trained model and tokenizer.
@@ -34,6 +36,9 @@ def main(
         quantize: Quantization mode: bnb.nf4, bnb.nf4-dq, bnb.fp4, bnb.fp4-dq,
             bnb.int8 (RTN at load time) or gptq.int4 (pre-calibrated file).
         precision: bf16-true or 32-true.
+        kv_cache: KV cache dtype: bf16 or int8.
+        mesh: Shard the model over local devices, e.g. "1,1,4" for
+            data=1,fsdp=1,tensor=4 (multi-chip serving).
         seed: Random seed for sampling.
     """
     import jax
@@ -43,6 +48,12 @@ def main(
     from parrot_tpu.generate.loader import device_memory_report, load_model
 
     config, params, tokenizer = load_model(checkpoint_dir, quantize, precision)
+    if mesh is not None:
+        from parrot_tpu.parallel import mesh as mesh_lib
+        from parrot_tpu.parallel import sharding
+
+        d, f, t = (int(v) for v in mesh.split(","))
+        params = sharding.shard_params(mesh_lib.make_mesh(d, f, t), params)
 
     encoded = jnp.asarray(tokenizer.encode(prompt), jnp.int32)
     prompt_length = int(encoded.shape[0])
@@ -57,6 +68,7 @@ def main(
             params, config, encoded, sample_rng,
             max_returned_tokens=max_returned_tokens,
             temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
+            cache_dtype=jnp.int8 if kv_cache == "int8" else jnp.bfloat16,
         )
         n = int(n)  # device sync
         t = time.perf_counter() - t0
