@@ -76,6 +76,29 @@ def _quant_col(w, scale, zero, maxq):
     return scale * (q - zero)
 
 
+@functools.partial(jax.jit, static_argnames=("percdamp", "actorder"))
+def _prepare_hinv(H: jnp.ndarray, W: jnp.ndarray, *, percdamp: float, actorder: bool):
+    """Dead-column handling, damping, and the Cholesky chain
+    H -> cholesky -> inverse -> upper cholesky (gptq.py:374-391), as its own
+    jitted program so its K^2 temporaries never coexist with the block loop's
+    (a 16k-feature layer otherwise peaks >30 GB of HLO temps)."""
+    K = H.shape[0]
+    dead = jnp.diag(H) == 0
+    H = jnp.where(jnp.eye(K, dtype=bool) & dead[None, :], 1.0, H)
+    W = jnp.where(dead[None, :], 0.0, W)
+    perm = None
+    if actorder:
+        perm = jnp.argsort(-jnp.diag(H))
+        W = W[:, perm]
+        H = H[perm][:, perm]
+    damp = percdamp * jnp.mean(jnp.diag(H))
+    H = H + jnp.eye(K) * damp
+    L = jnp.linalg.cholesky(H)
+    Hinv_full = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K))
+    Hinv = jnp.linalg.cholesky(Hinv_full).T  # upper: Hinv_full = Hinv^T @ Hinv
+    return W, Hinv, perm
+
+
 @functools.partial(
     jax.jit, static_argnames=("bits", "blocksize", "groupsize", "actorder", "percdamp")
 )
@@ -94,33 +117,24 @@ def gptq_quantize_matrix(
     Returns ``(q_codes [in, out] uint8, scales [n_groups, out],
     zeros [n_groups, out], error)`` in the layout
     :class:`~parrot_tpu.quantize.formats.QuantizedLinear` packs.
+
+    The outer block loop is a ``lax.fori_loop`` (one traced body regardless of
+    K) with masked full-width error propagation; this keeps compile time and
+    HLO-temp memory flat in K where a python-unrolled loop OOMs the compiler
+    on 16k-feature layers.
     """
     if actorder and groupsize != -1:
         raise ValueError("actorder is incompatible with grouped quantization")
     maxq = 2**bits - 1
     K, N = w.shape
-    W = w.astype(jnp.float32).T  # [out, in]: GPTQ operates over input columns
-
-    dead = jnp.diag(H) == 0
-    H = jnp.where(jnp.eye(K, dtype=bool) & dead[None, :], 1.0, H)
-    W = jnp.where(dead[None, :], 0.0, W)
-
-    if actorder:
-        perm = jnp.argsort(-jnp.diag(H))
-        W = W[:, perm]
-        H = H[perm][:, perm]
-
-    damp = percdamp * jnp.mean(jnp.diag(H))
-    H = H + jnp.eye(K) * damp
-    # H -> cholesky -> inverse -> upper cholesky (gptq.py:388-391)
-    L = jnp.linalg.cholesky(H)
-    Hinv_full = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K))
-    Hinv = jnp.linalg.cholesky(Hinv_full).T  # upper: Hinv_full = Hinv^T @ Hinv
+    W0 = w.astype(jnp.float32).T  # [out, in]: GPTQ operates over input columns
+    W, Hinv, perm = _prepare_hinv(H, W0, percdamp=percdamp, actorder=actorder)
 
     gs = K if groupsize == -1 else groupsize
-    # align block boundaries with group boundaries so scale recomputation
-    # happens at static positions
-    bs = math.gcd(blocksize, gs) if groupsize != -1 else blocksize
+    # block size must divide both K and (for grouped mode) the group size so
+    # every block sits inside one scale group
+    bs = math.gcd(blocksize, K) if groupsize == -1 else math.gcd(math.gcd(blocksize, gs), K)
+    n_blocks = K // bs
     n_groups = K // gs if groupsize != -1 else 1
 
     scales = jnp.zeros((n_groups, N), jnp.float32)
@@ -130,60 +144,74 @@ def gptq_quantize_matrix(
         scales = s0[None, :]
         zeros = z0[None, :]
 
-    Q = jnp.zeros_like(W)
-    total_loss = jnp.float32(0.0)
-    scale_col = scales[0]  # [out] current group's params
-    zero_col = zeros[0]
+    Q0 = jnp.zeros_like(W)
+    col_idx = jnp.arange(K)
 
-    for i1 in range(0, K, bs):
-        i2 = min(i1 + bs, K)
-        count = i2 - i1
-        if groupsize != -1 and i1 % gs == 0:
+    def block_step(bi, carry):
+        W, Q, scales, zeros, total_loss = carry
+        i1 = bi * bs
+
+        if groupsize != -1:
             g = i1 // gs
-            s_g, z_g = find_params_weight(lax.dynamic_slice(W, (0, i1), (N, gs)), maxq)
-            scales = scales.at[g].set(s_g)
-            zeros = zeros.at[g].set(z_g)
-            scale_col, zero_col = s_g, z_g
 
-        W1 = lax.dynamic_slice(W, (0, i1), (N, count))
-        Hinv1 = lax.dynamic_slice(Hinv, (i1, i1), (count, count))
+            def recompute(sz):
+                sc, zc = sz
+                s_g, z_g = find_params_weight(
+                    lax.dynamic_slice(W, (0, i1 - (i1 % gs)), (N, gs)), maxq
+                )
+                sc = lax.dynamic_update_slice(sc, s_g[None], (g, 0))
+                zc = lax.dynamic_update_slice(zc, z_g[None], (g, 0))
+                return sc, zc
 
-        def col_step(i, carry):
-            W1, Q1, Err1, loss = carry
+            scales, zeros = lax.cond(
+                i1 % gs == 0, recompute, lambda sz: sz, (scales, zeros)
+            )
+            scale_col = lax.dynamic_slice(scales, (g, 0), (1, N))[0]
+            zero_col = lax.dynamic_slice(zeros, (g, 0), (1, N))[0]
+        else:
+            scale_col, zero_col = scales[0], zeros[0]
+
+        W1 = lax.dynamic_slice(W, (0, i1), (N, bs))
+        Hinv1 = lax.dynamic_slice(Hinv, (i1, i1), (bs, bs))
+
+        def col_step(i, inner):
+            W1, Q1, Err1, loss = inner
             wcol = lax.dynamic_index_in_dim(W1, i, axis=1, keepdims=False)  # [out]
             d = Hinv1[i, i]
             q = _quant_col(wcol, scale_col, zero_col, maxq)
             Q1 = lax.dynamic_update_index_in_dim(Q1, q, i, axis=1)
             err = (wcol - q) / d
             loss = loss + jnp.sum((wcol - q) ** 2 / d**2) / 2
-            # W1[:, i+1:] -= err ⊗ Hinv1[i, i+1:]  (masked full-width update)
-            tail = jnp.arange(count) > i
+            # W1[:, i+1:] -= err (x) Hinv1[i, i+1:]  (masked full-width update)
+            tail = jnp.arange(bs) > i
             upd = jnp.outer(err, jnp.where(tail, Hinv1[i], 0.0))
             W1 = W1 - upd
             Err1 = lax.dynamic_update_index_in_dim(Err1, err, i, axis=1)
             return W1, Q1, Err1, loss
 
         W1, Q1, Err1, total_loss = lax.fori_loop(
-            0, count,
-            col_step,
-            (W1, jnp.zeros_like(W1), jnp.zeros_like(W1), total_loss),
+            0, bs, col_step, (W1, jnp.zeros_like(W1), jnp.zeros_like(W1), total_loss)
         )
         Q = lax.dynamic_update_slice(Q, Q1, (0, i1))
-        if i2 < K:
-            # propagate block error to all remaining columns (gptq.py:425)
-            Hrow = lax.dynamic_slice(Hinv, (i1, i2), (count, K - i2))
-            Wrest = lax.dynamic_slice(W, (0, i2), (N, K - i2))
-            Wrest = Wrest - jnp.dot(Err1, Hrow, precision=HIGH)
-            W = lax.dynamic_update_slice(W, Wrest, (0, i2))
+        # propagate block error to all remaining columns (gptq.py:425) —
+        # masked full-width matmul keeps shapes static inside the fori_loop
+        Hrows = lax.dynamic_slice(Hinv, (i1, 0), (bs, K))
+        Hrows = jnp.where(col_idx[None, :] >= i1 + bs, Hrows, 0.0)
+        W = W - jnp.dot(Err1, Hrows, precision=HIGH)
+        return W, Q, scales, zeros, total_loss
+
+    _, Q, scales, zeros, total_loss = lax.fori_loop(
+        0, n_blocks, block_step,
+        (W, Q0, scales, zeros, jnp.float32(0.0)),
+    )
 
     if actorder:
         invperm = jnp.argsort(perm)
         Q = Q[:, invperm]
 
     # Q holds dequantized values; recover integer codes for packing
-    codes = jnp.round(Q / scale_col[:, None] + zero_col[:, None]) if groupsize == -1 else None
     if groupsize == -1:
-        codes = jnp.clip(codes, 0, maxq)
+        codes = jnp.clip(jnp.round(Q / scales[0][:, None] + zeros[0][:, None]), 0, maxq)
     else:
         Qg = Q.reshape(N, K // gs, gs)
         codes = jnp.clip(
