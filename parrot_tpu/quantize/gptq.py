@@ -99,9 +99,6 @@ def _prepare_hinv(H: jnp.ndarray, W: jnp.ndarray, *, percdamp: float, actorder: 
     return W, Hinv, perm
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bits", "blocksize", "groupsize", "actorder", "percdamp")
-)
 def gptq_quantize_matrix(
     w: jnp.ndarray,  # [in, out]
     H: jnp.ndarray,  # [in, in]
@@ -125,10 +122,25 @@ def gptq_quantize_matrix(
     """
     if actorder and groupsize != -1:
         raise ValueError("actorder is incompatible with grouped quantization")
-    maxq = 2**bits - 1
     K, N = w.shape
     W0 = w.astype(jnp.float32).T  # [out, in]: GPTQ operates over input columns
+    # separate dispatch: the Cholesky chain's K^2 temporaries must not share a
+    # program with the block loop (jit-of-jit inlines, so this cannot be an
+    # inner jitted call)
     W, Hinv, perm = _prepare_hinv(H, W0, percdamp=percdamp, actorder=actorder)
+    jax.block_until_ready(Hinv)
+    return _gptq_blocks(
+        W, Hinv, perm, bits=bits, blocksize=blocksize, groupsize=groupsize,
+        actorder=actorder,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "blocksize", "groupsize", "actorder")
+)
+def _gptq_blocks(W, Hinv, perm, *, bits, blocksize, groupsize, actorder):
+    maxq = 2**bits - 1
+    N, K = W.shape
 
     gs = K if groupsize == -1 else groupsize
     # block size must divide both K and (for grouped mode) the group size so
