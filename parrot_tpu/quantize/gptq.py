@@ -77,11 +77,7 @@ def _quant_col(w, scale, zero, maxq):
 
 
 @functools.partial(jax.jit, static_argnames=("percdamp", "actorder"))
-def _prepare_hinv(H: jnp.ndarray, W: jnp.ndarray, *, percdamp: float, actorder: bool):
-    """Dead-column handling, damping, and the Cholesky chain
-    H -> cholesky -> inverse -> upper cholesky (gptq.py:374-391), as its own
-    jitted program so its K^2 temporaries never coexist with the block loop's
-    (a 16k-feature layer otherwise peaks >30 GB of HLO temps)."""
+def _dead_damp(H, W, *, percdamp: float, actorder: bool):
     K = H.shape[0]
     dead = jnp.diag(H) == 0
     H = jnp.where(jnp.eye(K, dtype=bool) & dead[None, :], 1.0, H)
@@ -93,9 +89,50 @@ def _prepare_hinv(H: jnp.ndarray, W: jnp.ndarray, *, percdamp: float, actorder: 
         H = H[perm][:, perm]
     damp = percdamp * jnp.mean(jnp.diag(H))
     H = H + jnp.eye(K) * damp
-    L = jnp.linalg.cholesky(H)
-    Hinv_full = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K))
-    Hinv = jnp.linalg.cholesky(Hinv_full).T  # upper: Hinv_full = Hinv^T @ Hinv
+    return H, W, perm
+
+
+@functools.partial(jax.jit, static_argnames=("c0", "cs"))
+def _tri_solve_block(L, *, c0: int, cs: int):
+    """Columns [c0, c0+cs) of L^-1 via a triangular solve against an identity
+    slice — chunked so no single program holds the full K x K solve temps."""
+    K = L.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, cs), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, cs), 1) + c0
+    rhs = (rows == cols).astype(jnp.float32)
+    return jax.lax.linalg.triangular_solve(
+        L, rhs, left_side=True, lower=True
+    )
+
+
+@jax.jit
+def _gram_upper_chol(Linv):
+    """H^-1 = Linv^T Linv; return its upper Cholesky factor U (H^-1 = U^T U)."""
+    Hinv_full = jnp.dot(Linv.T, Linv, precision=HIGH)
+    return jnp.linalg.cholesky(Hinv_full).T
+
+
+def _prepare_hinv(H, W, *, percdamp: float, actorder: bool):
+    """Dead-column handling, damping, and the Cholesky chain
+    H -> cholesky -> inverse -> upper cholesky (gptq.py:374-391).
+
+    Runs as several small XLA programs: a monolithic program peaks >30 GB of
+    HLO temps at K=16k (the full-RHS triangular solve). Layers up to ~16-24k
+    input features fit on one 16 GB chip; larger (70B-class) layers need the
+    planned host-offloaded variant.
+    """
+    K = H.shape[0]
+    H, W, perm = _dead_damp(H, W, percdamp=percdamp, actorder=actorder)
+    L = jax.jit(jnp.linalg.cholesky)(H)
+    jax.block_until_ready(L)
+    cs = min(K, 4096)
+    blocks = []
+    for c0 in range(0, K, cs):
+        blk = _tri_solve_block(L, c0=c0, cs=min(cs, K - c0))
+        jax.block_until_ready(blk)
+        blocks.append(blk)
+    Linv = jnp.concatenate(blocks, axis=1)
+    Hinv = _gram_upper_chol(Linv)
     return W, Hinv, perm
 
 
