@@ -125,7 +125,7 @@ def _prepare_hinv(H, W, *, percdamp: float, actorder: bool):
     H, W, perm = _dead_damp(H, W, percdamp=percdamp, actorder=actorder)
     L = jax.jit(jnp.linalg.cholesky)(H)
     jax.block_until_ready(L)
-    cs = min(K, 4096)
+    cs = min(K, 1024)  # solve temps scale with the RHS width; 4096 peaked >17 GB at K=16k
     blocks = []
     for c0 in range(0, K, cs):
         blk = _tri_solve_block(L, c0=c0, cs=min(cs, K - c0))
