@@ -232,19 +232,34 @@ def quantize_model_gptq(
     actorder: bool = False,
     batch_size: int = 8,
     log: Optional[Callable[[str], None]] = print,
+    stream_from_host: bool = True,
 ) -> tuple[dict, dict]:
     """Blockwise GPTQ over the whole model (``gptq.py:456-548``).
 
+    ``stream_from_host`` reproduces the reference's block streaming
+    (``gptq.py:488-529``, one transformer block on the accelerator at a
+    time): the fp model lives in host RAM, each layer's weights move to HBM
+    only while being calibrated, and quantized results move back — without
+    this a 3B bf16 model plus 16k-feature Hessian work exceeds one chip's
+    HBM.
+
     Returns ``(quantized_params, stats)`` where stats maps layer/target to
-    quantization error.
+    quantization error; the returned tree lives on host when streaming.
     """
+    import numpy as np
+
     N, T = calib_tokens.shape
     dtype = params["lm_head"]["w"].dtype
     cos_t, sin_t = gpt._rope_tables(config, jnp.dtype(dtype))
     cos, sin = cos_t[:T], sin_t[:T]
 
-    # embed all calibration samples (gptq.py:467-471)
-    x = jnp.take(params["wte"]["weight"], calib_tokens, axis=0)
+    if stream_from_host:
+        params = jax.device_get(params)
+        wte = jax.device_put(params["wte"]["weight"])
+        x = jnp.take(wte, calib_tokens, axis=0)
+        del wte
+    else:
+        x = jnp.take(params["wte"]["weight"], calib_tokens, axis=0)
 
     kwargs = dict(bits=bits, blocksize=blocksize, percdamp=percdamp,
                   groupsize=groupsize, actorder=actorder)
@@ -256,10 +271,15 @@ def quantize_model_gptq(
         lambda p, x: gpt.block_forward(p, config, x, cos, sin)[0]
     )
 
+    def to_device(tree):
+        return jax.tree.map(jnp.asarray, tree)
+
     per_layer: list[dict] = []
     for layer in range(config.n_layer):
         t0 = time.time()
         p_l = jax.tree.map(lambda a: a[layer], params["blocks"])
+        if stream_from_host:
+            p_l = to_device(p_l)
         for target in targets:
             group = _get(p_l, target)
             H, n = gptq.init_hessian(group["w"].shape[0])
@@ -267,23 +287,30 @@ def quantize_model_gptq(
                 inp = capture_jit(p_l, config, x[s : s + batch_size], cos, sin, target)
                 H, n = gptq.accumulate_hessian(H, n, inp)
             qgroup, err = gptq.gptq_quantize_linear(group, H, **kwargs)
+            del H
             _set(p_l, target, qgroup)
             stats[f"layer{layer}.{target}"] = err
         # replay the fully-quantized block to produce the next layer's inputs
         outs = [block_jit(p_l, x[s : s + batch_size]) for s in range(0, N, batch_size)]
         x = jnp.concatenate(outs, axis=0)
-        per_layer.append(p_l)
+        per_layer.append(jax.device_get(p_l) if stream_from_host else p_l)
+        del p_l
         if log:
             log(f"GPTQ layer {layer + 1}/{config.n_layer} done in {time.time() - t0:.1f}s")
 
-    new_blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    stack = (lambda *xs: np.stack(xs)) if stream_from_host else (lambda *xs: jnp.stack(xs))
+    new_blocks = jax.tree.map(stack, *per_layer)
 
     # final norm, then lm_head from its true inputs (gptq.py:534-548)
-    x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
+    ln_f = to_device(params["ln_f"]) if stream_from_host else params["ln_f"]
+    x = apply_norm(ln_f, x, config.norm_class, config.norm_eps)
     H, n = gptq.init_hessian(config.n_embd)
     for s in range(0, N, batch_size):
         H, n = gptq.accumulate_hessian(H, n, x[s : s + batch_size])
-    q_head, err = gptq.gptq_quantize_linear(params["lm_head"], H, **kwargs)
+    head = to_device(params["lm_head"]) if stream_from_host else params["lm_head"]
+    q_head, err = gptq.gptq_quantize_linear(head, H, **kwargs)
+    if stream_from_host:
+        q_head = jax.device_get(q_head)
     stats["lm_head"] = err
 
     new_params = {**params, "blocks": new_blocks, "lm_head": q_head}
