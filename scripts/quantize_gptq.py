@@ -76,7 +76,16 @@ def main(
     from parrot_tpu.quantize.api import quantize_model_gptq
     from parrot_tpu.utils import checkpoint as ckpt
 
+    import jax
+
     config, params, tokenizer = load_model(checkpoint_dir, precision=precision)
+    # move the fp model to host and free its HBM: calibration streams one
+    # block at a time to the device (reference gptq.py:488-529)
+    host_params = jax.device_get(params)
+    for leaf in jax.tree.leaves(params):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    params = host_params
     block_size = min(block_size, config.block_size)
     calib = jnp.asarray(get_sample_data(tokenizer, n_samples, block_size))
 
