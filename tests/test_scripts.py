@@ -177,6 +177,24 @@ def test_convert_lit_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
 
 
+def test_chat_repl(tmp_path, capsys, monkeypatch):
+    """Drive the chat REPL main() with scripted stdin (reference analogue:
+    tests/test_chat.py with stubbed model)."""
+    sys.path.insert(0, str(SCRIPTS))
+    import chat as chat_script
+
+    checkpoint_dir, _ = make_checkpoint(tmp_path)
+    prompts = iter(["Say hi", ""])  # one turn, then exit
+    monkeypatch.setattr("builtins.input", lambda *a: next(prompts))
+    chat_script.main(
+        checkpoint_dir=checkpoint_dir, precision="32-true", max_new_tokens=6,
+        temperature=0.0,
+    )
+    out, err = capsys.readouterr()
+    assert ">> Reply:" in out
+    assert "Chat ready" in err
+
+
 def test_evaluate_perplexity_script(tmp_path, capsys):
     sys.path.insert(0, str(SCRIPTS))
     import evaluate_perplexity
