@@ -7,6 +7,13 @@ Baseline: the reference's published falcon-7b gptq.int4 decode — 6.48 tok/s
 on an A100-40GB (tutorials/quantize.md:127-128, BASELINE.md). Weights are
 random in quantized form (throughput does not depend on weight values; the
 fp16 falcon-7b would not fit next to its int4 copy in 16 GB HBM anyway).
+Param synthesis is fully on-device (quantize/api.init_quantized_params) —
+the round-1 driver run timed out inside the old host-numpy init path.
+
+A watchdog thread guarantees a JSON line is printed before the driver's
+timeout: at BENCH_BUDGET_S (default 1380 s) it emits whatever has been
+measured so far (partial tok/s if the timed loop started, else an error
+line) and exits 0.
 
 BENCH_MODE=bf16-3b selects the older StableLM-3B bf16 bench
 (vs tutorials/tpus.md:55, 25 tok/s on a v4-8).
@@ -16,6 +23,7 @@ import functools
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -27,6 +35,39 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+
+# shared progress state the watchdog reads; only ever mutated by the main
+# thread between device barriers
+STATE = {"printed": False, "stage": "import", "steps": 0, "t0": None, "t_last": None,
+         "metric": "bench", "baseline": 1.0}
+LOCK = threading.Lock()
+
+
+def emit(value: float, unit: str = "tok/s") -> None:
+    with LOCK:
+        if STATE["printed"]:
+            return
+        STATE["printed"] = True
+        print(json.dumps({
+            "metric": STATE["metric"],
+            "value": round(value, 2),
+            "unit": unit,
+            "vs_baseline": round(value / STATE["baseline"], 3) if unit == "tok/s" else 0,
+        }), flush=True)
+
+
+def watchdog(budget_s: float) -> None:
+    time.sleep(budget_s)
+    with LOCK:
+        if STATE["printed"]:
+            return
+    if STATE["steps"] > 0 and STATE["t0"] is not None:
+        # partial but real measurement from the timed loop
+        emit(STATE["steps"] / (STATE["t_last"] - STATE["t0"]))
+    else:
+        STATE["metric"] = "bench_watchdog"
+        emit(0.0, unit=f"watchdog fired during stage={STATE['stage']}")
+    os._exit(0)  # rc 0: the JSON line above is the result
 
 
 def bench_decode(config, params, cache_dtype, n_steps: int = 96) -> float:
@@ -45,21 +86,36 @@ def bench_decode(config, params, cache_dtype, n_steps: int = 96) -> float:
     tok = jnp.asarray(1, jnp.int32)
     rng = jax.random.PRNGKey(0)
     pos = 0
+    STATE["stage"] = "compile+warmup"
     for _ in range(8):
         rng, r = jax.random.split(rng)
         tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
         pos += 1
     int(tok)  # device->host fetch: the only reliable barrier on lazy backends
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        rng, r = jax.random.split(rng)
-        tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
-        pos += 1
-    int(tok)
-    return n_steps / (time.perf_counter() - t0)
+    STATE["stage"] = "timed"
+    STATE["t0"] = STATE["t_last"] = time.perf_counter()
+    # time in chunks so the watchdog can report partial progress
+    chunk = 16
+    done = 0
+    while done < n_steps:
+        for _ in range(min(chunk, n_steps - done)):
+            rng, r = jax.random.split(rng)
+            tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
+            pos += 1
+        int(tok)
+        done += min(chunk, n_steps - done)
+        STATE["steps"] = done
+        STATE["t_last"] = time.perf_counter()
+    return n_steps / (STATE["t_last"] - STATE["t0"])
 
 
 def main() -> None:
+    threading.Thread(
+        target=watchdog,
+        args=(float(os.environ.get("BENCH_BUDGET_S", "1380")),),
+        daemon=True,
+    ).start()
+
     from parrot_tpu.config import Config
     from parrot_tpu.models import gpt
     from parrot_tpu.quantize import api
@@ -68,31 +124,28 @@ def main() -> None:
     kind = jax.devices()[0].device_kind
 
     if mode == "bf16-3b":
+        STATE["metric"] = f"stablelm-3b bf16 decode tok/s (1 chip, {kind})"
+        STATE["baseline"] = 25.0  # v4-8 steady state, tutorials/tpus.md:55
         config = Config.from_name("stablelm-base-alpha-3b")
+        STATE["stage"] = "init_params"
         params = gpt.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         tok_s = bench_decode(config, params, jnp.bfloat16)
-        metric = f"stablelm-3b bf16 decode tok/s (1 chip, {kind})"
-        baseline = 25.0  # v4-8 steady state, tutorials/tpus.md:55
     else:
+        STATE["metric"] = f"falcon-7b gptq.int4 + int8-KV decode tok/s (1 chip, {kind})"
+        STATE["baseline"] = 6.48  # A100 40GB, tutorials/quantize.md:127-128
         config = Config.from_name("falcon-7b")
+        STATE["stage"] = "init_params"
         params = api.init_quantized_params(config, jax.random.PRNGKey(0), "gptq.int4")
+        jax.block_until_ready(params["lm_head"].qw)
         tok_s = bench_decode(config, params, jnp.int8)
-        metric = f"falcon-7b gptq.int4 + int8-KV decode tok/s (1 chip, {kind})"
-        baseline = 6.48  # A100 40GB, tutorials/quantize.md:127-128
 
-    print(json.dumps({
-        "metric": metric,
-        "value": round(tok_s, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tok_s / baseline, 3),
-    }))
+    emit(tok_s)
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
-        print(json.dumps(
-            {"metric": "bench_error", "value": 0, "unit": str(e)[:200], "vs_baseline": 0}
-        ))
+        STATE["metric"] = "bench_error"
+        emit(0.0, unit=str(e)[:200])
         sys.exit(1)

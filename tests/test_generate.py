@@ -179,3 +179,56 @@ def test_stream_stop_sequence():
         cache_dtype=jnp.float32,
     ))
     assert stopped == [full[0]]
+
+
+def test_bucketed_no_recompile():
+    """Different prompt lengths within one bucket reuse the compiled program:
+    the compile count is O(log T), not O(#distinct lengths) (the reference
+    pads to fixed shapes for exactly this reason, finetune/full.py:247-248)."""
+    params = make_params()
+    kw = dict(max_returned_tokens=24, temperature=0.0)
+
+    def run(n):
+        prompt = jnp.arange(1, n + 1, dtype=jnp.int32)
+        return engine.generate(params, CFG, prompt, jax.random.PRNGKey(0), **kw)
+
+    run(4)
+    n0 = engine._generate_padded._cache_size()
+    toks, length = run(7)  # same 16-bucket: must not add a cache entry
+    assert engine._generate_padded._cache_size() == n0
+    assert int(length) == 24
+    # prompt is preserved un-padded in the output buffer
+    np.testing.assert_array_equal(np.asarray(toks[:7]), np.arange(1, 8))
+    run(20)  # next bucket: exactly one new compile
+    assert engine._generate_padded._cache_size() == n0 + 1
+
+
+def test_bucketed_prefill_matches_unpadded_numerics():
+    """Padded prefill + masked decode must produce the same tokens as an
+    explicitly exact-length run (max_seq_length pins the cache size so both
+    runs share shapes where possible)."""
+    params = make_params()
+    prompt = jnp.array([1, 2, 3, 4, 5], jnp.int32)
+    kw = dict(max_returned_tokens=20, temperature=0.0, max_seq_length=32)
+    t1, n1 = engine.generate(params, CFG, prompt, jax.random.PRNGKey(0), **kw)
+    # same prompt via the stream path (shares the bucketing); greedy => equal
+    streamed = list(engine.generate_stream(
+        params, CFG, prompt, jax.random.PRNGKey(0),
+        max_returned_tokens=20, temperature=0.0, max_seq_length=32,
+    ))
+    np.testing.assert_array_equal(np.asarray(t1[5:int(n1)]), np.asarray(streamed))
+
+
+def test_stream_second_turn_no_recompile():
+    """Chat turn 2 with a different prompt length must reuse both the prefill
+    and decode programs (module-level jits + bucketing)."""
+    params = make_params()
+    kw = dict(max_returned_tokens=24, temperature=0.0)
+    list(engine.generate_stream(
+        params, CFG, jnp.array([1, 2, 3], jnp.int32), jax.random.PRNGKey(0), **kw))
+    n_pre = engine._prefill_jit._cache_size()
+    n_dec = engine._decode_step._cache_size()
+    list(engine.generate_stream(
+        params, CFG, jnp.array([4, 5, 6, 7, 8], jnp.int32), jax.random.PRNGKey(1), **kw))
+    assert engine._prefill_jit._cache_size() == n_pre
+    assert engine._decode_step._cache_size() == n_dec
