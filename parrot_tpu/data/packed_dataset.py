@@ -1,26 +1,32 @@
 """Packed pretraining dataset — byte-compatible with the reference's LITPKDS
-binary format (``lit_gpt/packed_dataset.py``), torch-free.
+binary format, torch-free.
 
-Format (``packed_dataset.py:24-25,83-97``): ``b"LITPKDS"`` magic, u64 version
-(=1), u8 dtype code, u64 chunk_size, then ``chunk_size`` tokens; files written
-by :class:`PackedDatasetBuilder` are interchangeable with reference files.
+This module is the *format spec* plus idiomatic generator-based readers; the
+hot path for training is the C++ prefetching reader
+(``native/packed_reader.cpp`` via :mod:`parrot_tpu.data.native_reader`),
+which assembles batches off the Python thread. What is intentionally shared
+with the reference is only the on-disk contract
+(``lit_gpt/packed_dataset.py:24-25,83-97``):
 
-TPU-first differences from the reference:
-- plain numpy iterators (no torch ``IterableDataset``/DataLoader); batching is
-  a host-side generator feeding fixed-shape ``[B, block]`` int32 arrays, which
-  the training loop ``device_put``s against the mesh's batch sharding;
-- per-host sharding via ``num_processes``/``process_rank`` keeps the
-  reference's striped assignment (``packed_dataset.py:41-58``) so a converted
-  corpus shards identically.
+    b"LITPKDS" | u64 version (=1) | u8 dtype code | u64 chunk_size
+    | chunk_size tokens of the coded dtype
+
+Files written here are interchangeable with reference-written corpora, and
+per-host striping (``num_processes``/``process_rank``) assigns files the same
+way the reference stripes across (process, dataloader-worker) shards — a
+converted corpus shards identically.
+
+TPU-first shape: readers are plain generators yielding numpy blocks; batching
+is a host-side generator feeding fixed-shape ``[B, block]`` int32 arrays that
+the training loop ``device_put``s against the mesh's batch sharding.
 """
 
 from __future__ import annotations
 
-import os
 import random
 import struct
 from pathlib import Path
-from typing import Iterator, Optional, Sequence
+from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -58,8 +64,33 @@ def read_header(path) -> tuple[np.dtype, int]:
     return dtypes[dtype_code], chunk_size
 
 
+def write_chunk(path, tokens: np.ndarray, chunk_size: int, sep_token: int) -> None:
+    """Write one LITPKDS file: ``tokens`` padded with ``sep_token`` to
+    ``chunk_size``."""
+    assert tokens.ndim == 1 and len(tokens) <= chunk_size
+    with open(path, "wb") as f:
+        write_header(f, 1, tokens.dtype, chunk_size)
+        f.write(tokens.tobytes(order="C"))
+        pad = chunk_size - len(tokens)
+        if pad:
+            f.write(np.full(pad, sep_token, tokens.dtype).tobytes(order="C"))
+
+
+def read_chunk(path) -> np.ndarray:
+    """Read one LITPKDS file's payload as a numpy array (mmap-backed)."""
+    dtype, chunk_size = read_header(path)
+    return np.memmap(path, mode="r", dtype=dtype, offset=HDR_SIZE, shape=(chunk_size,))
+
+
 class PackedDatasetBuilder:
-    """Token stream -> fixed-size chunk files (``packed_dataset.py:61-119``)."""
+    """Token stream -> fixed-size chunk files.
+
+    Appended arrays accumulate in a pending list; every full ``chunk_size``
+    span is flushed to its own numbered file, and :meth:`write_reminder` pads
+    the tail with ``sep_token``. Output bytes match the reference builder
+    file-for-file (a chunk is held until the stream strictly exceeds it, so
+    exact-fill + reminder produces the same file count).
+    """
 
     def __init__(self, outdir, prefix, chunk_size, sep_token, dtype="auto",
                  vocab_size: Optional[int] = None):
@@ -69,25 +100,13 @@ class PackedDatasetBuilder:
             self._dtype = np.uint16 if vocab_size < 65500 else np.int32
         else:
             self._dtype = dtype
-        self._counter = 0
-        self._chunk_size = chunk_size
-        self._outdir = outdir
+        self._outdir = Path(outdir)
         self._prefix = prefix
+        self._chunk_size = chunk_size
         self._sep_token = sep_token
-        self._arr = np.full(chunk_size, sep_token, dtype=self._dtype)
-        self._idx = 0
-        self._version = 1
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
         self._filenames: list[str] = []
-
-    def _write_chunk(self) -> None:
-        filename = os.path.join(self._outdir, f"{self._prefix}_{self._counter:010d}.bin")
-        with open(filename, "wb") as f:
-            write_header(f, self._version, self._dtype, self._chunk_size)
-            f.write(self._arr.tobytes(order="C"))
-        self._filenames.append(filename)
-        self._counter += 1
-        self._arr.fill(self._sep_token)
-        self._idx = 0
 
     @property
     def dtype(self):
@@ -97,139 +116,102 @@ class PackedDatasetBuilder:
     def filenames(self) -> list[str]:
         return self._filenames.copy()
 
+    def _flush(self, tokens: np.ndarray) -> None:
+        path = self._outdir / f"{self._prefix}_{len(self._filenames):010d}.bin"
+        write_chunk(path, tokens, self._chunk_size, self._sep_token)
+        self._filenames.append(str(path))
+
     def add_array(self, arr: np.ndarray) -> None:
-        while self._idx + arr.shape[0] > self._chunk_size:
-            part_len = self._chunk_size - self._idx
-            self._arr[self._idx : self._idx + part_len] = arr[:part_len]
-            self._write_chunk()
-            arr = arr[part_len:]
-        self._arr[self._idx : self._idx + arr.shape[0]] = arr
-        self._idx += arr.shape[0]
+        self._pending.append(np.asarray(arr, dtype=self._dtype))
+        self._pending_len += len(self._pending[-1])
+        if self._pending_len <= self._chunk_size:
+            return
+        flat = np.concatenate(self._pending)
+        n_full = len(flat) // self._chunk_size
+        # hold an exactly-full chunk for the next add (or the reminder)
+        if len(flat) % self._chunk_size == 0:
+            n_full -= 1
+        for i in range(n_full):
+            self._flush(flat[i * self._chunk_size:(i + 1) * self._chunk_size])
+        tail = flat[n_full * self._chunk_size:]
+        self._pending = [tail]
+        self._pending_len = len(tail)
 
     def write_reminder(self) -> None:
-        self._write_chunk()
+        flat = (np.concatenate(self._pending) if self._pending
+                else np.empty(0, self._dtype))
+        self._flush(flat[: self._chunk_size])
+        self._pending, self._pending_len = [], 0
 
 
-class PackedDataset:
-    """Iterable over ``[block_size]`` int arrays from LITPKDS chunk files.
+# ---------------------------------------------------------------------------
+# Readers (generators)
+# ---------------------------------------------------------------------------
 
-    ``num_processes``/``process_rank`` stripe files across hosts exactly like
-    the reference stripes across (process, dataloader-worker) shards.
+
+def shard_filenames(filenames: Sequence, num_shards: int, shard_id: int) -> list[str]:
+    """Striped file assignment; drops the ragged tail so every shard sees the
+    same file count (matches the reference's worker striping)."""
+    files = [str(f) for f in filenames]
+    usable = len(files) // num_shards * num_shards
+    return files[shard_id:usable:num_shards]
+
+
+def iter_blocks(
+    filenames: Sequence,
+    n_chunks: int,
+    block_size: int,
+    *,
+    seed: int = 12345,
+    shuffle: bool = True,
+    wrap: bool = False,
+) -> Iterator[np.ndarray]:
+    """Yield ``[block_size]`` int64 blocks from LITPKDS files.
+
+    ``n_chunks`` files are mmapped at a time and their blocks yielded in a
+    seeded random order (or sequentially); ``wrap=True`` restarts from the
+    first file for infinite epochs.
     """
+    files = [str(f) for f in filenames]
+    if not files:
+        return
+    dtype, chunk_size = read_header(files[0])
+    blocks_per_chunk = chunk_size // block_size
+    rng = np.random.default_rng(seed) if shuffle else None
+    n_chunks = min(n_chunks, len(files))
 
-    def __init__(self, filenames: Sequence, n_chunks: int, block_size: int,
-                 seed: int = 12345, shuffle: bool = True, wrap: bool = False,
-                 num_processes: int = 1, process_rank: int = 0):
-        self._filenames = [str(f) for f in filenames]
-        self._n_chunks = n_chunks
-        self._block_size = block_size
-        self._seed = seed
-        self._shuffle = shuffle
-        self._wrap = wrap
-        self._num_processes = num_processes
-        self._process_rank = process_rank
-
-    def __iter__(self) -> "PackedDatasetIterator":
-        num_shards = self._num_processes
-        shard_id = self._process_rank
-        max_num_files = len(self._filenames) // num_shards * num_shards
-        filenames = self._filenames[shard_id:max_num_files:num_shards]
-        return PackedDatasetIterator(
-            filenames=filenames, n_chunks=self._n_chunks,
-            block_size=self._block_size, seed=self._seed,
-            shuffle=self._shuffle, wrap=self._wrap,
-        )
-
-
-class PackedDatasetIterator:
-    """mmap ``n_chunks`` files at a time; yield shuffled blocks
-    (``packed_dataset.py:122-212``)."""
-
-    def __init__(self, filenames, n_chunks, block_size, seed, shuffle, wrap):
-        self._filenames = filenames
-        self._n_chunks = n_chunks
-        self._block_size = block_size
-        self._rng = np.random.default_rng(seed) if shuffle else None
-        self._shuffle = shuffle
-        self._wrap = wrap
-        self._file_idx = 0
-        self._dtype: Optional[np.dtype] = None
-        self._chunk_size = 0
-        self._n_blocks = 0
-        self._mmaps: list[np.memmap] = []
-        self._block_idxs = []
-        self._curr_idx = 0
-        self._load_n_chunks()
-
-    def _close_mmaps(self) -> None:
-        for m in self._mmaps:
+    start = 0
+    while True:
+        if start + n_chunks > len(files):
+            if not wrap:
+                return
+            start = 0
+        group = files[start : start + n_chunks]
+        start += n_chunks
+        maps = [np.memmap(f, mode="r", dtype=dtype, offset=HDR_SIZE,
+                          shape=(chunk_size,)) for f in group]
+        n = len(group) * blocks_per_chunk
+        order = rng.permutation(n) if rng is not None else np.arange(n)
+        for b in order:
+            c, o = divmod(int(b), blocks_per_chunk)
+            lo = o * block_size
+            yield np.asarray(maps[c][lo : lo + block_size]).astype(np.int64)
+        for m in maps:
             if hasattr(m, "_mmap"):
                 m._mmap.close()
-        self._mmaps = []
-
-    def _load_n_chunks(self) -> None:
-        self._close_mmaps()
-        if self._n_chunks > len(self._filenames[self._file_idx:]):
-            if not self._wrap:
-                raise StopIteration
-            self._file_idx = 0
-        for i in range(self._n_chunks):
-            filename = self._filenames[self._file_idx + i]
-            if self._dtype is None:
-                self._dtype, self._chunk_size = read_header(filename)
-                self._n_blocks = self._chunk_size // self._block_size
-            self._mmaps.append(np.memmap(filename, mode="r", dtype=self._dtype,
-                                         offset=HDR_SIZE, shape=(self._chunk_size,)))
-        self._file_idx += self._n_chunks
-        n_all_blocks = self._n_chunks * self._n_blocks
-        self._block_idxs = (
-            self._rng.permutation(n_all_blocks) if self._shuffle else np.arange(n_all_blocks)
-        )
-        self._curr_idx = 0
-
-    def __del__(self):
-        self._close_mmaps()
-
-    def __iter__(self):
-        return self
-
-    def __next__(self) -> np.ndarray:
-        if self._curr_idx >= len(self._block_idxs):
-            self._load_n_chunks()
-        block_idx = int(self._block_idxs[self._curr_idx])
-        chunk_id = block_idx // self._n_blocks
-        elem_id = (block_idx % self._n_blocks) * self._block_size
-        arr = np.asarray(self._mmaps[chunk_id][elem_id : elem_id + self._block_size])
-        self._curr_idx += 1
-        return arr.astype(np.int64)
 
 
-class CombinedDataset:
-    """Weighted random mixture of datasets (``packed_dataset.py:215-236``),
-    e.g. the LLaMA-1 RedPajama proportions (``pretrain/redpajama.py:48-56``)."""
-
-    def __init__(self, datasets, seed, weights=None):
-        self._datasets = datasets
-        self._seed = seed
-        n = len(datasets)
-        self._weights = weights if weights is not None else [1 / n] * n
-
-    def __iter__(self):
-        return CombinedDatasetIterator(self._datasets, self._seed, self._weights)
-
-
-class CombinedDatasetIterator:
-    def __init__(self, datasets, seed, weights):
-        self._datasets = [iter(d) for d in datasets]
-        self._weights = weights
-        self._rng = random.Random(seed)
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        (dataset,) = self._rng.choices(self._datasets, weights=self._weights, k=1)
-        return next(dataset)
+def iter_mixture(datasets: Sequence[Iterable], seed: int,
+                 weights: Optional[Sequence[float]] = None) -> Iterator:
+    """Weighted random mixture of block iterators — e.g. the LLaMA-1
+    RedPajama source proportions (``pretrain/redpajama.py:48-56``)."""
+    iters = [iter(d) for d in datasets]
+    if weights is None:
+        weights = [1.0 / len(iters)] * len(iters)
+    rng = random.Random(seed)
+    while True:
+        (chosen,) = rng.choices(iters, weights=weights, k=1)
+        yield next(chosen)
 
 
 def batch_iterator(
@@ -245,3 +227,35 @@ def batch_iterator(
             batch = []
     if batch and not drop_last:
         yield np.stack(batch).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Thin re-iterable views over the generators (API-compat surface)
+# ---------------------------------------------------------------------------
+
+
+class PackedDataset:
+    """Re-iterable view: each ``iter()`` restarts :func:`iter_blocks` over
+    this host's file stripe."""
+
+    def __init__(self, filenames: Sequence, n_chunks: int, block_size: int,
+                 seed: int = 12345, shuffle: bool = True, wrap: bool = False,
+                 num_processes: int = 1, process_rank: int = 0):
+        self._files = shard_filenames(filenames, num_processes, process_rank)
+        self._kw = dict(n_chunks=n_chunks, block_size=block_size, seed=seed,
+                        shuffle=shuffle, wrap=wrap)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return iter_blocks(self._files, **self._kw)
+
+
+class CombinedDataset:
+    """Re-iterable weighted mixture (each ``iter()`` restarts the sources)."""
+
+    def __init__(self, datasets, seed, weights=None):
+        self._datasets = datasets
+        self._seed = seed
+        self._weights = weights
+
+    def __iter__(self) -> Iterator:
+        return iter_mixture(self._datasets, self._seed, self._weights)
