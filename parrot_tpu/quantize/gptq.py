@@ -106,34 +106,54 @@ def _tri_solve_block(L, *, c0: int, cs: int):
 
 
 @jax.jit
-def _gram_upper_chol(Linv):
-    """H^-1 = Linv^T Linv; return its upper Cholesky factor U (H^-1 = U^T U)."""
-    Hinv_full = jnp.dot(Linv.T, Linv, precision=HIGH)
-    return jnp.linalg.cholesky(Hinv_full).T
+def _chol_reversed(H):
+    """Lower Cholesky factor of the index-reversed matrix J H J."""
+    return jnp.linalg.cholesky(H[::-1, ::-1])
 
 
-def _prepare_hinv(H, W, *, percdamp: float, actorder: bool):
-    """Dead-column handling, damping, and the Cholesky chain
-    H -> cholesky -> inverse -> upper cholesky (gptq.py:374-391).
+# Above this K the triangular-inverse chunks stream through host RAM so the
+# device never holds L, the chunk outputs AND the assembled U at once —
+# 70B-class layers (mlp.proj K=28672, falcon-40b K=32768) calibrate on one
+# 16 GB chip (the reference streams blocks for the same reason,
+# quantize/gptq.py:456-548).
+OFFLOAD_FEATURES = 16384
 
-    Runs as several small XLA programs: a monolithic program peaks >30 GB of
-    HLO temps at K=16k (the full-RHS triangular solve). Layers up to ~16-24k
-    input features fit on one 16 GB chip; larger (70B-class) layers need the
-    planned host-offloaded variant.
+
+def _prepare_hinv(H, W, *, percdamp: float, actorder: bool,
+                  offload: bool | None = None):
+    """Dead-column handling, damping, and the upper factor ``U`` with
+    ``H^-1 = U^T U`` (what the block loop consumes; ≙ the reference's
+    cholesky -> cholesky_inverse -> cholesky(upper) chain, gptq.py:385-391).
+
+    Uses the reversal identity ``U = J · chol(J H J)^-1 · J`` (Cholesky
+    uniqueness: J L^-1 J is upper-triangular with positive diagonal and
+    satisfies H^-1 = (JL^-1J)^T (JL^-1J)) — ONE Cholesky plus a chunked
+    triangular inverse instead of chol -> full inverse -> gram -> second
+    chol. Device peak is ~2 K^2 fp32 (the Cholesky in/out) instead of ~4 K^2,
+    and with ``offload`` the inverse chunks round-trip through host RAM so
+    K=28672+ layers fit a 16 GB chip.
     """
     K = H.shape[0]
+    if offload is None:
+        offload = K > OFFLOAD_FEATURES
     H, W, perm = _dead_damp(H, W, percdamp=percdamp, actorder=actorder)
-    L = jax.jit(jnp.linalg.cholesky)(H)
-    jax.block_until_ready(L)
+    Lr = _chol_reversed(H)
+    jax.block_until_ready(Lr)
+    del H
     cs = min(K, 1024)  # solve temps scale with the RHS width; 4096 peaked >17 GB at K=16k
     blocks = []
     for c0 in range(0, K, cs):
-        blk = _tri_solve_block(L, c0=c0, cs=min(cs, K - c0))
+        blk = _tri_solve_block(Lr, c0=c0, cs=min(cs, K - c0))
         jax.block_until_ready(blk)
-        blocks.append(blk)
-    Linv = jnp.concatenate(blocks, axis=1)
-    Hinv = _gram_upper_chol(Linv)
-    return W, Hinv, perm
+        blocks.append(np.asarray(blk) if offload else blk)
+    if offload:
+        Lr.delete()  # free K^2 on device before uploading U
+        Linv_r = np.concatenate(blocks, axis=1)
+        del blocks
+        U = jnp.asarray(Linv_r[::-1, ::-1])
+    else:
+        U = jnp.concatenate(blocks, axis=1)[::-1, ::-1]
+    return W, U, perm
 
 
 def gptq_quantize_matrix(
@@ -145,6 +165,7 @@ def gptq_quantize_matrix(
     percdamp: float = 0.01,
     groupsize: int = -1,
     actorder: bool = False,
+    offload: bool | None = None,
 ):
     """Run GPTQ on one weight matrix.
 
@@ -164,7 +185,9 @@ def gptq_quantize_matrix(
     # separate dispatch: the Cholesky chain's K^2 temporaries must not share a
     # program with the block loop (jit-of-jit inlines, so this cannot be an
     # inner jitted call)
-    W, Hinv, perm = _prepare_hinv(H, W0, percdamp=percdamp, actorder=actorder)
+    W, Hinv, perm = _prepare_hinv(
+        H, W0, percdamp=percdamp, actorder=actorder, offload=offload
+    )
     jax.block_until_ready(Hinv)
     return _gptq_blocks(
         W, Hinv, perm, bits=bits, blocksize=blocksize, groupsize=groupsize,

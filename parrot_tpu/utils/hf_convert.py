@@ -124,21 +124,16 @@ def _set_path(tree: dict, path: str, value: np.ndarray) -> None:
     node[parts[-1]] = value
 
 
-def convert_hf_state_dict(
-    config: Config,
-    shards: Iterator[dict[str, np.ndarray]],
-    dtype: Optional[np.dtype] = None,
-) -> dict:
-    """Convert an iterator of HF state-dict shards into a parrot param tree.
-
-    Shards are consumed one at a time. Returns the nested dict with stacked
-    per-layer leaves, ready to feed :func:`parrot_tpu.models.gpt.forward`.
-    """
+def _iter_converted(
+    config: Config, shards: Iterator[dict[str, np.ndarray]]
+) -> Iterator[tuple[str, Optional[int], np.ndarray]]:
+    """Yield ``(path, layer_or_None, array)`` conversion events one tensor at
+    a time (transposed to [in, out], llama q/k/v fused per layer). The memory
+    high-water mark is one source shard plus at most one pending q/k/v pair
+    per layer — this is what lets the streaming converter handle 40B-class
+    checkpoints in bounded RAM."""
     wmap = weight_map_for(config)
-    flat: dict[str, np.ndarray] = {}
-    per_layer: dict[str, dict[int, np.ndarray]] = {}
     qkv_parts: dict[int, dict[str, np.ndarray]] = {}
-
     layer_re = re.compile(r"^(.*?\.)(\d+)(\..*)$")
 
     for shard in shards:
@@ -155,15 +150,15 @@ def convert_hf_state_dict(
                 arr = np.asarray(param)
                 if to_path.startswith("__qkv_"):
                     qkv_parts.setdefault(layer, {})[to_path[-1]] = arr
-                    parts = qkv_parts[layer]
-                    if len(parts) == 3:
-                        fused = interleave_qkv(config, parts["q"], parts["k"], parts["v"])
-                        per_layer.setdefault("blocks.attn.qkv.w", {})[layer] = fused
-                        del qkv_parts[layer]
+                    if len(qkv_parts[layer]) == 3:
+                        parts = qkv_parts.pop(layer)
+                        yield "blocks.attn.qkv.w", layer, interleave_qkv(
+                            config, parts["q"], parts["k"], parts["v"]
+                        )
                     continue
                 if transpose:
                     arr = np.ascontiguousarray(arr.T)
-                per_layer.setdefault(to_path, {})[layer] = arr
+                yield to_path, layer, arr
             else:
                 if name not in wmap:
                     continue
@@ -171,10 +166,29 @@ def convert_hf_state_dict(
                 arr = np.asarray(param)
                 if transpose:
                     arr = np.ascontiguousarray(arr.T)
-                flat[to_path] = arr
+                yield to_path, None, arr
 
     if qkv_parts:
         raise ValueError(f"Incomplete q/k/v projections for layers {sorted(qkv_parts)}")
+
+
+def convert_hf_state_dict(
+    config: Config,
+    shards: Iterator[dict[str, np.ndarray]],
+    dtype: Optional[np.dtype] = None,
+) -> dict:
+    """Convert an iterator of HF state-dict shards into an in-RAM parrot
+    param tree with stacked per-layer leaves (small/medium models; for
+    bounded-memory conversion of large checkpoints use
+    :func:`convert_hf_checkpoint_streaming`)."""
+    flat: dict[str, np.ndarray] = {}
+    per_layer: dict[str, dict[int, np.ndarray]] = {}
+
+    for path, layer, arr in _iter_converted(config, shards):
+        if layer is None:
+            flat[path] = arr
+        else:
+            per_layer.setdefault(path, {})[layer] = arr
 
     tree: dict = {}
     for path, arr in flat.items():
@@ -186,6 +200,43 @@ def convert_hf_state_dict(
         stacked = np.stack([by_layer[i] for i in range(config.n_layer)])
         _set_path(tree, path, _maybe_cast(stacked, dtype))
     return tree
+
+
+def convert_hf_checkpoint_streaming(
+    config: Config,
+    checkpoint_dir: Path,
+    out_dir: Optional[Path] = None,
+    dtype: Optional[np.dtype] = None,
+    max_shard_bytes: int = 2 << 30,
+) -> Path:
+    """Convert an HF checkpoint to the parrot format with bounded host RAM
+    (≙ the reference's ``incremental_save`` discipline,
+    ``lit_gpt/utils.py:262-399``): each converted tensor is handed straight to
+    a :class:`~parrot_tpu.utils.checkpoint.ShardedSafetensorsWriter`, with
+    per-layer tensors written under ``<path>.__layer__.<i>`` keys (re-stacked
+    at load). Peak RSS stays at ~one source shard + one tensor regardless of
+    model size. Returns the written model/index path.
+    """
+    from parrot_tpu.utils.checkpoint import ShardedSafetensorsWriter
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out = Path(out_dir) if out_dir is not None else checkpoint_dir
+    writer = ShardedSafetensorsWriter(out, max_shard_bytes=max_shard_bytes)
+
+    seen_layers: dict[str, set[int]] = {}
+    for path, layer, arr in _iter_converted(config, iter_hf_shards(checkpoint_dir)):
+        arr = _maybe_cast(_pad_vocab(config, path, arr) if layer is None else arr, dtype)
+        if layer is None:
+            writer.add(path, arr)
+        else:
+            seen_layers.setdefault(path, set()).add(layer)
+            writer.add(f"{path}.__layer__.{layer:05d}", arr)
+
+    for path, layers in seen_layers.items():
+        missing = sorted(set(range(config.n_layer)) - layers)
+        if missing:
+            raise ValueError(f"{path}: missing layers {missing}")
+    return writer.finish(config=config)
 
 
 def _pad_vocab(config: Config, path: str, arr: np.ndarray) -> np.ndarray:
@@ -326,8 +377,11 @@ def load_torch_bin(path: Path) -> dict[str, np.ndarray]:
         if not hasattr(v, "numpy"):
             continue
         if v.dtype == torch.bfloat16:
-            # numpy has no bfloat16; round-trip through float32
-            out[k] = v.to(torch.float32).numpy()
+            # keep bf16 bytes: uint16 view -> ml_dtypes.bfloat16 view (the old
+            # float32 round-trip doubled host bytes for 40B-class converts)
+            import ml_dtypes
+
+            out[k] = v.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
         else:
             out[k] = v.numpy()
     return out

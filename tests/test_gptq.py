@@ -146,3 +146,39 @@ def test_quantize_params_modes(mode):
     # weight-only RTN at >=4 bits keeps logits roughly in place
     assert np.isfinite(q).all()
     assert np.abs(q - fp).mean() < 0.5
+
+
+def test_reversal_identity_matches_gram_chain():
+    """The one-cholesky construction U = J chol(JHJ)^-1 J equals the
+    reference's chol -> inverse -> gram -> chol(upper) chain."""
+    rng = np.random.RandomState(3)
+    K = 96
+    A = rng.randn(K, 2 * K).astype(np.float32)
+    H = jnp.asarray(A @ A.T / (2 * K) + 0.05 * np.eye(K, dtype=np.float32))
+    W = jnp.asarray(rng.randn(8, K).astype(np.float32))
+    _, U, _ = gptq._prepare_hinv(H, W, percdamp=0.01, actorder=False, offload=False)
+    # oracle: explicit H^-1 then upper cholesky factor with H^-1 = U^T U
+    Hd, _, _ = gptq._dead_damp(H, W, percdamp=0.01, actorder=False)
+    Hinv = jnp.linalg.inv(Hd)
+    U_ref = jnp.linalg.cholesky(Hinv).T
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), atol=2e-3, rtol=2e-2)
+    # and U is what the block loop assumes: upper-triangular, H^-1 = U^T U
+    np.testing.assert_allclose(np.asarray(U), np.triu(np.asarray(U)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(U.T @ U), np.asarray(Hinv), atol=2e-3, rtol=2e-2
+    )
+
+
+def test_host_offload_path_matches_on_device():
+    """offload=True (70B-class layers) streams inverse chunks through host
+    RAM and must produce the same quantization as the on-device path."""
+    rng = np.random.RandomState(4)
+    K, N, S = 128, 32, 256
+    x = jnp.asarray(rng.randn(S, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.1)
+    H, n = gptq.init_hessian(K)
+    H, n = gptq.accumulate_hessian(H, n, x[None])
+    on_dev = gptq.gptq_quantize_matrix(w, H, blocksize=16, offload=False)
+    off = gptq.gptq_quantize_matrix(w, H, blocksize=16, offload=True)
+    for a, b in zip(on_dev[:3], off[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
