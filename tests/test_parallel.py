@@ -122,3 +122,47 @@ def test_quantized_params_shard_with_same_rules():
     tokens = jnp.ones((2, 8), jnp.int32)
     logits = jax.jit(lambda p, t: gpt.forward(p, CFG, t))(sp, tokens)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sharded_int4_int8kv_generate_parity():
+    """The full jitted generate() while-loop with int4 weights + INT8 KV cache
+    under tensor+fsdp sharding produces the same greedy tokens as one device
+    (SURVEY §7 'multi-host decode' hard part)."""
+    from parrot_tpu.generate import engine
+    from parrot_tpu.quantize import api as quant_api
+
+    params = gpt.init_params(CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qparams = quant_api.quantize_params(
+        jax.tree.map(lambda x: x, params), CFG, "gptq.int4"
+    )
+    prompt = jnp.array([5, 2, 7, 1], jnp.int32)
+    kw = dict(max_returned_tokens=12, temperature=0.0, cache_dtype=jnp.int8)
+    expected, n = engine.generate(qparams, CFG, prompt, jax.random.PRNGKey(0), **kw)
+
+    mesh = mesh_lib.make_mesh(1, 2, 4)
+    sq = sharding.shard_params(mesh, qparams)
+    actual, n2 = engine.generate(sq, CFG, prompt, jax.random.PRNGKey(0), **kw)
+    np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
+    assert int(n) == int(n2)
+
+
+def test_sharded_ragged_batch_generate_parity():
+    """Ragged generate_batch (per-sequence positions + EOS retirement) under
+    the mesh matches the single-device run token-for-token."""
+    from parrot_tpu.generate import engine
+
+    params = gpt.init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+    prompts = jnp.asarray(
+        [[3, 1, 4, 0], [2, 7, 0, 0], [9, 8, 6, 5]], jnp.int32
+    )
+    lengths = jnp.asarray([3, 2, 4], jnp.int32)
+    kw = dict(max_returned_tokens=10, temperature=0.0, cache_dtype=jnp.int8)
+    expected, el = engine.generate_batch(
+        params, CFG, prompts, lengths, jax.random.PRNGKey(0), **kw)
+
+    mesh = mesh_lib.make_mesh(1, 2, 4)
+    sp = sharding.shard_params(mesh, params)
+    actual, al = engine.generate_batch(
+        sp, CFG, prompts, lengths, jax.random.PRNGKey(0), **kw)
+    np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(al), np.asarray(el))
