@@ -1,0 +1,231 @@
+"""Continuous-batching serving engine.
+
+The reference serves one request at a time (``generate/base.py:92-159``);
+this engine keeps a fixed pool of decode slots live and admits/retires
+requests between single-token steps — the BASELINE.json north-star
+"continuous batching across hosts" serving core, single-host form:
+
+- **slots**: one batched KV cache ``[L, B, S, ...]``; slot ``b`` belongs to at
+  most one in-flight request. Admission prefillis the prompt directly into the
+  slot's cache rows (a row slice round-trips through the shared bucketed
+  prefill program, so admission compiles O(log block_size) programs total).
+- **lock-step decode**: every step runs ONE ``forward_decode_batched``
+  dispatch for all slots at their own positions (idle slots compute at
+  position 0 and are ignored — the standard slot-batching tradeoff).
+- **retirement**: EOS or budget frees the slot immediately; the next queued
+  request reuses it on the following step. No cache zeroing is needed — the
+  per-slot position masking makes stale rows invisible until overwritten
+  (same argument as bucketed prefill padding, ``engine.py``).
+
+All jitted entry points are module-level and shape-bucketed, so a serving
+process compiles a handful of programs regardless of traffic mix.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from parrot_tpu.config import Config
+from parrot_tpu.generate.engine import _pad_to, prompt_bucket
+from parrot_tpu.models import gpt
+from parrot_tpu.models.gpt import KVCache
+from parrot_tpu.ops.sampling import sample
+
+
+@dataclass
+class Request:
+    """One in-flight generation request."""
+
+    id: int
+    prompt: np.ndarray  # [T] int32
+    max_new_tokens: int
+    produced: list[int] = field(default_factory=list)
+    done: bool = False
+    t_submit: float = 0.0
+    t_first_token: Optional[float] = None
+    t_done: Optional[float] = None
+
+    @property
+    def ttft(self) -> Optional[float]:
+        return None if self.t_first_token is None else self.t_first_token - self.t_submit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "temperature", "top_k", "top_p"),
+    donate_argnums=(1, 2),
+)
+def _admit_step(
+    params, cache: KVCache, cur: jnp.ndarray, row: jnp.ndarray,
+    prompt: jnp.ndarray, t_true: jnp.ndarray, rng,
+    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+):
+    """Prefill ``prompt`` into cache row ``row`` and sample its first token.
+
+    The slot's cache rows are sliced out, run through the standard prefill
+    (batch-1), and written back — so admission shares the bucketed prefill
+    program across slots and requests.
+    """
+    sub = jax.tree.map(lambda a: lax.dynamic_slice_in_dim(a, row, 1, axis=1), cache)
+    logits, sub = gpt.forward_cached(
+        params, config, prompt[None, :], sub, jnp.asarray(0, jnp.int32), prefill=True
+    )
+    cache = jax.tree.map(
+        lambda big, small: lax.dynamic_update_slice_in_dim(big, small, row, axis=1),
+        cache, sub,
+    )
+    last = lax.dynamic_index_in_dim(logits[0], t_true - 1, axis=0, keepdims=False)
+    first = sample(rng, last, temperature, top_k, top_p)
+    return cache, cur.at[row].set(first)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "temperature", "top_k", "top_p"),
+    donate_argnums=(1,),
+)
+def _decode_all_slots(
+    params, cache: KVCache, cur: jnp.ndarray, positions: jnp.ndarray, rng,
+    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+):
+    logits, cache = gpt.forward_decode_batched(
+        params, config, cur[:, None], cache, positions
+    )
+    nxt = sample(rng, logits[:, 0], temperature, top_k, top_p)
+    return nxt, cache
+
+
+class ServingEngine:
+    """Slot-based continuous batching around the ragged decode step.
+
+    Usage::
+
+        eng = ServingEngine(params, config, slots=8, temperature=0.0)
+        req = eng.submit(prompt_ids, max_new_tokens=64)
+        while not req.done:
+            eng.step()           # one decode step for ALL in-flight requests
+        print(req.produced)
+    """
+
+    def __init__(
+        self,
+        params,
+        config: Config,
+        *,
+        slots: int = 8,
+        max_seq_length: Optional[int] = None,
+        cache_dtype: jnp.dtype = jnp.bfloat16,
+        temperature: float = 1.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        eos_id: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.params = params
+        self.config = config
+        self.slots = slots
+        self.S = min(max_seq_length or config.block_size, config.block_size)
+        self.cache = KVCache.init(config, slots, self.S, dtype=cache_dtype)
+        self.cur = jnp.zeros((slots,), jnp.int32)
+        self.pos = np.zeros((slots,), np.int64)  # tokens so far (prompt+produced)
+        self.occupant: list[Optional[Request]] = [None] * slots
+        self.queue: deque[Request] = deque()
+        self.sampling = dict(temperature=temperature, top_k=top_k, top_p=top_p)
+        self.eos_id = eos_id
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._next_id = 0
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int) -> Request:
+        prompt = np.asarray(prompt, np.int32)
+        if len(prompt) > self.S:
+            raise ValueError(f"prompt length {len(prompt)} exceeds cache size {self.S}")
+        req = Request(self._next_id, prompt, max_new_tokens, t_submit=time.perf_counter())
+        self._next_id += 1
+        self.queue.append(req)
+        return req
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self.occupant)
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or self.n_active > 0
+
+    def step(self) -> list[Request]:
+        """Admit queued requests into free slots, then run one lock-step
+        decode for all active slots. Returns requests that finished this
+        step."""
+        self._admit()
+        active = [b for b, r in enumerate(self.occupant) if r is not None]
+        if not active:
+            return []
+
+        positions = jnp.asarray(
+            np.where([r is not None for r in self.occupant], self.pos - 1, 0),
+            jnp.int32,
+        )
+        self.rng, step_rng = jax.random.split(self.rng)
+        nxt, self.cache = _decode_all_slots(
+            self.params, self.cache, self.cur, positions, step_rng,
+            config=self.config, **self.sampling,
+        )
+        self.cur = nxt
+        toks = np.asarray(nxt)  # host sync: admission decisions need the values
+        now = time.perf_counter()
+
+        finished = []
+        for b in active:
+            req = self.occupant[b]
+            tok = int(toks[b])
+            req.produced.append(tok)
+            self.pos[b] += 1
+            hit_eos = self.eos_id is not None and tok == self.eos_id
+            if hit_eos or len(req.produced) >= req.max_new_tokens:
+                req.done, req.t_done = True, now
+                self.occupant[b] = None  # slot free for the next admission
+                finished.append(req)
+        return finished
+
+    def run_until_drained(self, max_steps: int = 1_000_000) -> None:
+        for _ in range(max_steps):
+            if not self.has_work():
+                return
+            self.step()
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self) -> None:
+        for b in range(self.slots):
+            if not self.queue or self.occupant[b] is not None:
+                continue
+            req = self.queue.popleft()
+            T = len(req.prompt)
+            Tb = prompt_bucket(T, self.S)
+            padded = _pad_to(jnp.asarray(req.prompt, jnp.int32), Tb)
+            self.rng, admit_rng = jax.random.split(self.rng)
+            self.cache, self.cur = _admit_step(
+                self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
+                padded, jnp.asarray(T, jnp.int32), admit_rng,
+                config=self.config, **self.sampling,
+            )
+            first = int(np.asarray(self.cur)[b])  # sync: TTFT is honest
+            now = time.perf_counter()
+            req.produced.append(first)
+            req.t_first_token = now
+            self.occupant[b] = req
+            self.pos[b] = T + 1
+            hit_eos = self.eos_id is not None and first == self.eos_id
+            if hit_eos or len(req.produced) >= req.max_new_tokens:
+                req.done, req.t_done = True, now
+                self.occupant[b] = None

@@ -26,6 +26,9 @@ def main(
     n_trials: int = 5,
     kv_cache: str = "bf16",
     seed: int = 0,
+    continuous: bool = False,
+    n_requests: int = 16,
+    arrival_interval_ms: float = 50.0,
 ) -> None:
     """Benchmarks the serving path.
 
@@ -37,10 +40,15 @@ def main(
         precision: bf16-true or 32-true.
         prompt_length: Synthetic prompt length (TTFT depends on it).
         max_new_tokens: Decode steps per trial.
-        batch_size: Concurrent sequences (ragged batch engine when > 1).
+        batch_size: Concurrent sequences (decode slots in continuous mode).
         n_trials: Timed repetitions (after a compile warmup).
         kv_cache: bf16 | int8.
         seed: PRNG seed.
+        continuous: Continuous-batching mode: staggered request arrivals are
+            admitted into free slots mid-decode; reports per-stream TTFT
+            p50/p90 and aggregate throughput.
+        n_requests: (continuous) total requests to serve.
+        arrival_interval_ms: (continuous) wall-clock gap between arrivals.
     """
     import jax
     import jax.numpy as jnp
@@ -65,6 +73,16 @@ def main(
             params = gpt.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
     cache_dtype = jnp.int8 if kv_cache == "int8" else jnp.bfloat16
+
+    if continuous:
+        _run_continuous(
+            config, params, cache_dtype, prompt_length=prompt_length,
+            max_new_tokens=max_new_tokens, slots=batch_size,
+            n_requests=n_requests, arrival_interval_ms=arrival_interval_ms,
+            quantize=quantize, kv_cache=kv_cache, seed=seed,
+        )
+        return
+
     S = min(prompt_length + max_new_tokens, config.block_size)
     B = batch_size
     rng = jax.random.PRNGKey(seed)
@@ -128,6 +146,75 @@ def main(
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
+
+
+def _run_continuous(
+    config, params, cache_dtype, *, prompt_length, max_new_tokens, slots,
+    n_requests, arrival_interval_ms, quantize, kv_cache, seed,
+):
+    """Concurrent-arrival benchmark over the continuous-batching engine:
+    requests arrive on a wall-clock schedule, are admitted into free decode
+    slots mid-flight, and report per-stream TTFT + throughput."""
+    import json as _json
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from parrot_tpu.generate.serving import ServingEngine
+
+    rng = np.random.RandomState(seed)
+    prompts = [
+        rng.randint(0, config.vocab_size, size=rng.randint(
+            max(1, prompt_length // 2), prompt_length + 1)).astype(np.int32)
+        for _ in range(n_requests)
+    ]
+
+    eng = ServingEngine(
+        params, config, slots=slots, cache_dtype=cache_dtype,
+        max_seq_length=min(config.block_size, prompt_length + max_new_tokens),
+        temperature=0.8, top_k=200, rng=jax.random.PRNGKey(seed),
+    )
+    # warmup: compile prefill buckets + decode program on a throwaway request
+    warm = eng.submit(prompts[0][:prompt_length], max_new_tokens=2)
+    eng.run_until_drained()
+    warm.produced.clear()
+
+    t_start = _time.perf_counter()
+    next_arrival = t_start
+    submitted = 0
+    requests = []
+    while submitted < n_requests or eng.has_work():
+        now = _time.perf_counter()
+        while submitted < n_requests and now >= next_arrival:
+            requests.append(eng.submit(prompts[submitted], max_new_tokens))
+            submitted += 1
+            next_arrival += arrival_interval_ms / 1e3
+        if eng.has_work():
+            eng.step()
+        else:
+            _time.sleep(min(0.001, max(0.0, next_arrival - now)))
+    t_total = _time.perf_counter() - t_start
+
+    ttfts = np.asarray([r.ttft for r in requests]) * 1e3
+    total_tokens = sum(len(r.produced) for r in requests)
+    per_stream = [
+        len(r.produced) / (r.t_done - r.t_submit) for r in requests if r.t_done
+    ]
+    print(_json.dumps({
+        "mode": "continuous",
+        "model": config.name,
+        "quantize": quantize,
+        "kv_cache": kv_cache,
+        "slots": slots,
+        "n_requests": n_requests,
+        "arrival_interval_ms": arrival_interval_ms,
+        "ttft_p50_ms": round(float(np.percentile(ttfts, 50)), 2),
+        "ttft_p90_ms": round(float(np.percentile(ttfts, 90)), 2),
+        "aggregate_tok_s": round(total_tokens / t_total, 2),
+        "per_stream_tok_s_p50": round(float(np.percentile(per_stream, 50)), 2),
+        "device": jax.devices()[0].device_kind,
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,95 @@
+"""Continuous-batching serving engine tests: greedy parity with the one-shot
+engine, slot reuse after EOS/budget retirement, staggered admission."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import Config
+from parrot_tpu.generate import engine
+from parrot_tpu.generate.serving import ServingEngine
+from parrot_tpu.models import gpt
+
+CFG = Config(
+    name="serve-tiny",
+    block_size=64,
+    vocab_size=64,
+    padded_vocab_size=64,
+    n_layer=2,
+    n_head=2,
+    n_embd=32,
+    rotary_percentage=1.0,
+)
+
+
+def make_params():
+    return gpt.init_params(CFG, jax.random.PRNGKey(0))
+
+
+def _reference_tokens(params, prompt, max_new):
+    toks, n = engine.generate(
+        params, CFG, jnp.asarray(prompt, jnp.int32), jax.random.PRNGKey(0),
+        max_returned_tokens=len(prompt) + max_new, temperature=0.0,
+    )
+    return np.asarray(toks[len(prompt):int(n)]).tolist()
+
+
+def test_continuous_matches_single_stream_greedy():
+    params = make_params()
+    prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9]]
+    expected = [_reference_tokens(params, p, 8) for p in prompts]
+
+    eng = ServingEngine(params, CFG, slots=4, temperature=0.0)
+    reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    eng.run_until_drained(max_steps=100)
+    for req, want in zip(reqs, expected):
+        assert req.done
+        assert req.produced == want, (req.produced, want)
+
+
+def test_slot_reuse_after_retirement():
+    """More requests than slots: retired slots must be reused, and late
+    requests (admitted mid-decode of others) still match the single-stream
+    reference."""
+    params = make_params()
+    prompts = [[i + 1, i + 2] for i in range(6)]
+    expected = [_reference_tokens(params, p, 5) for p in prompts]
+
+    eng = ServingEngine(params, CFG, slots=2, temperature=0.0)
+    reqs = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    eng.run_until_drained(max_steps=200)
+    assert all(r.done for r in reqs)
+    for req, want in zip(reqs, expected):
+        assert req.produced == want, (req.produced, want)
+    # TTFT ordering: later queue entries cannot beat the first admissions
+    assert all(r.ttft is not None for r in reqs)
+
+
+def test_eos_retires_immediately():
+    params = make_params()
+    # discover the greedy continuation, then declare its 2nd token to be EOS
+    probe = _reference_tokens(params, [1, 2, 3], 6)
+    eos = probe[1]
+    eng = ServingEngine(params, CFG, slots=2, temperature=0.0, eos_id=eos)
+    req = eng.submit([1, 2, 3], max_new_tokens=6)
+    eng.run_until_drained(max_steps=50)
+    assert req.done
+    assert req.produced == probe[:2]  # stops AT the eos token, included
+    assert eng.n_active == 0
+
+
+def test_staggered_admission_mid_decode():
+    """A request submitted while another is mid-decode joins without
+    disturbing the first stream's tokens."""
+    params = make_params()
+    want_a = _reference_tokens(params, [5, 4, 3], 10)
+    want_b = _reference_tokens(params, [8, 8, 8, 8], 6)
+
+    eng = ServingEngine(params, CFG, slots=2, temperature=0.0)
+    ra = eng.submit([5, 4, 3], max_new_tokens=10)
+    for _ in range(4):
+        eng.step()
+    rb = eng.submit([8, 8, 8, 8], max_new_tokens=6)
+    eng.run_until_drained(max_steps=100)
+    assert ra.produced == want_a
+    assert rb.produced == want_b
