@@ -127,6 +127,7 @@ def pretrain(
     resume: bool = False,
     seed: int = 1337,
     mesh_shape: tuple[int, int, int] = (1, 1, 1),
+    profile_dir: Optional[Path] = None,
 ) -> dict:
     from parrot_tpu.generate.loader import PRECISION_DTYPES
 
@@ -209,14 +210,20 @@ def pretrain(
             targets = targets.reshape(gradient_accumulation, batch_size, -1)
         return {"input_ids": jnp.asarray(inputs), "labels": jnp.asarray(targets)}
 
+    from parrot_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(profile_dir, start_step=iter_start + 2)
+
     t_start = time.perf_counter()
     final_loss = float("nan")
     for it in range(iter_start, max_iters):
+        profiler.maybe_start(it)
         batch = next_batch()
         t0 = time.perf_counter()
         params, opt_state, loss = step_fn(params, opt_state, batch)
         final_loss = float(loss)
         dt = time.perf_counter() - t0
+        profiler.maybe_stop(it)
         monitor.on_train_batch_end(
             samples=(it + 1) * batch_size * gradient_accumulation,
             train_elapsed=time.perf_counter() - t_start,
@@ -245,6 +252,7 @@ def pretrain(
                 out_dir / f"iter-{it:06d}-ckpt.safetensors", params, opt_state, it, config
             )
 
+    profiler.close()
     save_train_state(out_dir / "lit_model_final.safetensors", params, opt_state, max_iters, config)
     logger.finalize()
     return {"final_loss": final_loss, "params": params, "config": config}

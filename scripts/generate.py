@@ -23,6 +23,7 @@ def main(
     kv_cache: str = "bf16",
     mesh: Optional[str] = None,
     seed: int = 1234,
+    profile: Optional[Path] = None,
 ) -> None:
     """Generates text samples based on a pre-trained model and tokenizer.
 
@@ -40,6 +41,8 @@ def main(
         mesh: Shard the model over local devices, e.g. "1,1,4" for
             data=1,fsdp=1,tensor=4 (multi-chip serving).
         seed: Random seed for sampling.
+        profile: Write a jax.profiler trace of the generation into this
+            directory (view with tensorboard/xprof).
     """
     import jax
     import jax.numpy as jnp
@@ -60,24 +63,27 @@ def main(
     max_returned_tokens = prompt_length + max_new_tokens
     assert max_returned_tokens <= config.block_size, (max_returned_tokens, config.block_size)
 
+    from parrot_tpu.utils.profiling import profile_trace
+
     rng = jax.random.PRNGKey(seed)
-    for i in range(num_samples):
-        rng, sample_rng = jax.random.split(rng)
-        t0 = time.perf_counter()
-        tokens, n = engine.generate(
-            params, config, encoded, sample_rng,
-            max_returned_tokens=max_returned_tokens,
-            temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
-            cache_dtype=jnp.int8 if kv_cache == "int8" else jnp.bfloat16,
-        )
-        n = int(n)  # device sync
-        t = time.perf_counter() - t0
-        print(tokenizer.decode(tokens[:n]))
-        print(
-            f"Time for inference {i + 1}: {t:.02f} sec total,"
-            f" {(n - prompt_length) / t:.02f} tokens/sec",
-            file=sys.stderr,
-        )
+    with profile_trace(profile):
+        for i in range(num_samples):
+            rng, sample_rng = jax.random.split(rng)
+            t0 = time.perf_counter()
+            tokens, n = engine.generate(
+                params, config, encoded, sample_rng,
+                max_returned_tokens=max_returned_tokens,
+                temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
+                cache_dtype=jnp.int8 if kv_cache == "int8" else jnp.bfloat16,
+            )
+            n = int(n)  # device sync
+            t = time.perf_counter() - t0
+            print(tokenizer.decode(tokens[:n]))
+            print(
+                f"Time for inference {i + 1}: {t:.02f} sec total,"
+                f" {(n - prompt_length) / t:.02f} tokens/sec",
+                file=sys.stderr,
+            )
     if (report := device_memory_report()) is not None:
         print(report, file=sys.stderr)
 

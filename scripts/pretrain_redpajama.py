@@ -22,6 +22,7 @@ def main(
     max_iters: int = 600000,
     warmup_iters: int = 2000,
     resume: bool = False,
+    profile_dir: Optional[Path] = None,
 ) -> None:
     """Pretrains on the weighted RedPajama source mixture (LLaMA-1
     proportions).
@@ -38,6 +39,7 @@ def main(
         max_iters: Total optimizer iterations.
         warmup_iters: Linear warmup iterations.
         resume: Resume from the latest checkpoint in out_dir.
+        profile_dir: Capture a jax.profiler trace of a 3-step window here.
     """
     from parrot_tpu.training.pretrain import REDPAJAMA_DATA_CONFIG, pretrain
 
@@ -46,7 +48,7 @@ def main(
         data_config=REDPAJAMA_DATA_CONFIG, precision=precision,
         learning_rate=learning_rate, batch_size=batch_size,
         gradient_accumulation=gradient_accumulation, max_iters=max_iters,
-        warmup_iters=warmup_iters, resume=resume,
+        warmup_iters=warmup_iters, resume=resume, profile_dir=profile_dir,
     )
 
 

@@ -57,3 +57,25 @@ def test_csv_logger_merges_steps(tmp_path):
     # second logger gets a new version dir
     logger2 = StepCSVLogger(tmp_path, name="run")
     assert logger2.log_dir != logger.log_dir
+
+
+def test_profile_trace_writes_tensorboard_dir(tmp_path):
+    """The jax.profiler hook (SURVEY §5) captures a trace directory that
+    tensorboard/xprof can open (plugins/profile/<run>/...)."""
+    import jax.numpy as jnp
+
+    from parrot_tpu.utils.profiling import StepProfiler, profile_trace
+
+    with profile_trace(tmp_path / "trace"):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    produced = list((tmp_path / "trace").rglob("*.xplane.pb"))
+    assert produced, "no xplane captured"
+    assert any("plugins/profile" in str(p) for p in produced)
+
+    sp = StepProfiler(tmp_path / "steps", start_step=1, n_steps=1)
+    for step in range(3):
+        sp.maybe_start(step)
+        jnp.ones((4, 4)).sum().block_until_ready()
+        sp.maybe_stop(step)
+    sp.close()
+    assert list((tmp_path / "steps").rglob("*.xplane.pb"))
