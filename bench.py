@@ -15,6 +15,13 @@ timeout: at BENCH_BUDGET_S (default 1380 s) it emits whatever has been
 measured so far (partial tok/s if the timed loop started, else an error
 line) and exits 0.
 
+Run structure: the top-level process is a SUPERVISOR that spawns the real
+bench as a child (BENCH_CHILD=1). If the child reports RESOURCE_EXHAUSTED —
+the signature of a stale device claim left by a previously killed process on
+the remote TPU relay, which clears on its own after tens of minutes — the
+supervisor sleeps and retries while budget remains. Children always exit on
+their own (never killed), so retries cannot extend the wedge.
+
 BENCH_MODE=bf16-3b selects the older StableLM-3B bf16 bench
 (vs tutorials/tpus.md:55, 25 tok/s on a v4-8).
 """
@@ -22,9 +29,65 @@ BENCH_MODE=bf16-3b selects the older StableLM-3B bf16 bench
 import functools
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
+
+
+def supervise() -> None:
+    """Spawn bench children, retrying transient device-claim failures.
+
+    Never kills a child: each child has its own watchdog and always exits by
+    itself (killing a process mid-TPU-operation wedges the remote device).
+    """
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+    t0 = time.monotonic()
+    attempt = 0
+    last_line = None
+    while True:
+        attempt += 1
+        remaining = budget - (time.monotonic() - t0)
+        env = dict(os.environ)
+        env["BENCH_CHILD"] = "1"
+        env["BENCH_BUDGET_S"] = str(max(60.0, remaining - 15.0))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env, text=True,
+        )
+        line = None
+        for out in (proc.stdout or "").splitlines():
+            out = out.strip()
+            if out.startswith("{"):
+                line = out
+                break
+        if line is not None:
+            last_line = line
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                rec = {}
+            metric = str(rec.get("metric", ""))
+            unit = str(rec.get("unit", ""))
+            transient = "RESOURCE_EXHAUSTED" in unit or "ResourceExhausted" in unit
+            if not (metric == "bench_error" and transient):
+                print(line, flush=True)
+                return
+        remaining = budget - (time.monotonic() - t0)
+        if remaining < 240.0:
+            print(last_line or json.dumps({
+                "metric": "bench_error", "value": 0.0,
+                "unit": "no attempt produced output", "vs_baseline": 0,
+            }), flush=True)
+            return
+        print(f"# attempt {attempt} hit a stale device claim; "
+              f"retrying ({remaining:.0f}s budget left)", file=sys.stderr, flush=True)
+        time.sleep(min(90.0, remaining - 180.0))
+
+
+if os.environ.get("BENCH_CHILD") != "1" and __name__ == "__main__":
+    supervise()
+    sys.exit(0)
 
 import jax
 

@@ -156,6 +156,74 @@ def _int4_kernel(
 
 
 # ---------------------------------------------------------------------------
+# int4, two-dot form (decode fast path)
+# ---------------------------------------------------------------------------
+#
+# Identity: within one PACK_BLOCK, packed byte j holds lo = q[j] and
+# hi = q[j + 128], so with activation halves x_a (rows of lo) and x_b (rows
+# of hi):
+#
+#     x_a @ lo + x_b @ hi  ==  (x_a - x_b/16) @ lo  +  (x_b/16) @ p
+#
+# where p = lo + 16*hi is the RAW PACKED BYTE. The [M, k]-sized activation
+# rewrite is free; on the weight-sized data the kernel does ONE mask
+# (lo = p & 0xF) and two int->float casts — no shift, no sublane concat, and
+# half the former cast traffic. Decode at M=1 is VPU-bound on exactly that
+# per-byte elementwise work (the [1MB] DMA per grid step takes ~1.4 us at
+# roofline while the old unpack chain cost ~5x that), so cutting passes is
+# cutting tok/s directly. Requires every pack block inside one scale group
+# (group_size % 256 == 0, including the GPTQ default -1).
+
+# Which int4 kernel `int4_matmul` uses when shapes allow: "2dot" (above) or
+# "grouped" (the general kernel). Module-level so the in-model sweep can flip
+# it; both are numerically exact in weight treatment.
+INT4_VARIANT = "2dot"
+# Feed f32 straight into the MXU dots (skips the f32->bf16 pass over weight
+# codes; the MXU runs f32 as multiple bf16 passes, irrelevant at decode M).
+DOT_F32 = False
+
+
+def _int4_2dot_kernel(
+    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
+    k_tile: int, dot_f32: bool,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = qw_ref[:].astype(jnp.int32)  # [k_tile//2, N] zero-extended bytes
+    lo_d = (p32 & 0xF).astype(jnp.float32)
+    p_d = p32.astype(jnp.float32)
+    dt = jnp.float32 if dot_f32 else jnp.bfloat16
+    if not dot_f32:
+        lo_d = lo_d.astype(dt)
+        p_d = p_d.astype(dt)
+
+    x = x_ref[:].astype(jnp.float32)  # [M, k_tile]
+    half = formats.PACK_BLOCK // 2  # packed rows per block
+    for b in range(k_tile // formats.PACK_BLOCK):
+        xa = x[:, b * 2 * half : b * 2 * half + half]
+        xb = x[:, b * 2 * half + half : (b + 1) * 2 * half]
+        v = xb * (1.0 / 16.0)
+        u = xa - v
+        d = jnp.dot(u.astype(dt), lo_d[b * half : (b + 1) * half],
+                    preferred_element_type=jnp.float32)
+        d += jnp.dot(v.astype(dt), p_d[b * half : (b + 1) * half],
+                     preferred_element_type=jnp.float32)
+        row = (k * k_tile + b * formats.PACK_BLOCK) // gs
+        s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)  # [1, N]
+        z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        xsum = jnp.sum(xa + xb, axis=1, keepdims=True)  # [M, 1]
+        acc_ref[:] += (d - xsum * z) * s
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
 # int4 weights x int8 activations on the int8 MXU (the fast decode path)
 # ---------------------------------------------------------------------------
 
@@ -166,16 +234,17 @@ def _int4_w8a8_kernel(
 ):
     """Contract raw int4 codes on the int8 MXU without ever dequantizing.
 
-    Per K-tile: activations quantize to int8 with a per-(row, tile) scale;
-    nibbles stay packed — the hi-nibble dot is recovered algebraically:
+    Two-dot form of the packed-byte identity (see ``_int4_2dot_kernel``):
+    with u = x_a - x_b/16 and v = x_b/16, both int8-quantized with their own
+    per-row scales,
 
-        p = lo + 16*hi,  p_s8 = bitcast(p ^ 0x80) = p - 128
-        x·hi = (x·p_s8 + 128·Σx − x·lo) / 16        (exact in s32)
+        x_a·lo + x_b·hi  =  su·(uq·lo) + sv·(vq·p)
+        p_s8 = bitcast(p ^ 0x80) = p - 128,   vq·p = vq·p_s8 + 128·Σvq
 
-    so the only elementwise work is one i8 AND and one i8 XOR (quarter-cost
-    VPU passes) plus the tiny [M, k_tile] activation quantization; the three
-    [M,128]x[128,N] int8 dots run at the MXU's doubled int8 rate. Numerics:
-    weights exact; activations int8 per (row, k_tile) group (W8A8).
+    so the only weight-sized elementwise work is one i8 AND and one i8 XOR
+    (quarter-cost VPU passes); the two [M,128]x[128,N] dots per pack block
+    run at the MXU's doubled int8 rate. Numerics: weights exact; activations
+    int8 per (row, half-block) (W8A8).
     """
     k = pl.program_id(2)
 
@@ -183,38 +252,45 @@ def _int4_w8a8_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:].astype(jnp.float32)  # [M, k_tile]
-    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    sx = jnp.where(absmax == 0, 1.0, absmax / 127.0)  # [M, 1]
-    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
-
     packed = qw_ref[:]  # [k_tile//2, N] uint8
     lo = (packed & 0xF).astype(jnp.int8)
     p_s8 = pltpu.bitcast(packed ^ 0x80, jnp.int8)
 
+    x = x_ref[:].astype(jnp.float32)  # [M, k_tile]
     half = formats.PACK_BLOCK // 2  # 128 unpacked rows per nibble half
     n_blocks = k_tile // formats.PACK_BLOCK
-    y_int = jnp.zeros(acc_ref.shape, jnp.int32)
-    xsum_all = jnp.zeros((x.shape[0], 1), jnp.int32)
+
+    def quant_rows(a):
+        """[M, half] f32 -> int8 codes + per-row f32 scale."""
+        absmax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+        s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        return jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8), s
+
+    y_codes = jnp.zeros(acc_ref.shape, jnp.float32)
+    xsum_all = jnp.zeros((x.shape[0], 1), jnp.float32)
     for blk in range(n_blocks):
-        xa = xq[:, blk * 2 * half : blk * 2 * half + half]
-        xb = xq[:, blk * 2 * half + half : (blk + 1) * 2 * half]
+        xa = x[:, blk * 2 * half : blk * 2 * half + half]
+        xb = x[:, blk * 2 * half + half : (blk + 1) * 2 * half]
+        v = xb * (1.0 / 16.0)
+        u = xa - v
+        uq, su = quant_rows(u)
+        vq, sv = quant_rows(v)
         lo_b = lo[blk * half : (blk + 1) * half]
         p_b = p_s8[blk * half : (blk + 1) * half]
-        da = jnp.dot(xa, lo_b, preferred_element_type=jnp.int32)
-        dp = jnp.dot(xb, p_b, preferred_element_type=jnp.int32)
-        dl = jnp.dot(xb, lo_b, preferred_element_type=jnp.int32)
-        sum_xb = jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
-        y_int = y_int + da + ((dp + 128 * sum_xb - dl) >> 4)
-        xsum_all = xsum_all + sum_xb + jnp.sum(xa.astype(jnp.int32), axis=1, keepdims=True)
+        d_lo = jnp.dot(uq, lo_b, preferred_element_type=jnp.int32)
+        d_p = jnp.dot(vq, p_b, preferred_element_type=jnp.int32)
+        sum_vq = jnp.sum(vq.astype(jnp.int32), axis=1, keepdims=True)
+        y_codes = y_codes + su * d_lo.astype(jnp.float32) \
+            + sv * (d_p + 128 * sum_vq).astype(jnp.float32)
+        xsum_all = xsum_all + jnp.sum(xa + xb, axis=1, keepdims=True)
 
-    # dequant epilogue: y_fp = sx * s_g * (y_int - z_g * Σxq)
+    # dequant epilogue: y_fp = s_g * (y_codes - z_g * Σx)
     groups_per_tile = max(1, k_tile // gs)
     if groups_per_tile == 1:
         row = (k * k_tile) // gs
         s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)
         z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
-        acc_ref[:] += sx * s * (y_int.astype(jnp.float32) - z * xsum_all.astype(jnp.float32))
+        acc_ref[:] += s * (y_codes - z * xsum_all)
     else:
         # multiple scale groups inside one tile: fall back is handled by the
         # wrapper (it requires gs >= k_tile for this kernel)
@@ -364,7 +440,12 @@ def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
     n_k = Kp // k_tile
     n_groups = Kp // gs
-    kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs, k_tile=k_tile)
+    if INT4_VARIANT == "2dot" and gs % formats.PACK_BLOCK == 0:
+        kernel = functools.partial(
+            _int4_2dot_kernel, n_k=n_k, gs=gs, k_tile=k_tile, dot_f32=DOT_F32
+        )
+    else:
+        kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs, k_tile=k_tile)
 
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,

@@ -32,9 +32,11 @@ def test_int8_kernel(m):
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("group_size", [-1, 128, 512])
+@pytest.mark.parametrize("variant", ["2dot", "grouped"])
+@pytest.mark.parametrize("group_size", [-1, 128, 256, 512])
 @pytest.mark.parametrize("m", [1, 4])
-def test_int4_kernel(group_size, m):
+def test_int4_kernel(variant, group_size, m, monkeypatch):
+    monkeypatch.setattr(pallas_quant, "INT4_VARIANT", variant)
     K, N = 512, 384
     w = jax.random.normal(jax.random.PRNGKey(2), (K, N)) * 0.1
     p = formats.quantize_int4(w, group_size=group_size)
@@ -43,6 +45,23 @@ def test_int4_kernel(group_size, m):
     actual = pallas_quant.int4_matmul(p, x)
     assert actual.shape == (m, N)
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("dot_f32", [False, True])
+def test_int4_2dot_exact_on_integer_activations(dot_f32, monkeypatch):
+    """The 2-dot rewrite (xa@lo + xb@hi == (xa-xb/16)@lo + (xb/16)@p) must be
+    EXACT when activations are small integers (u, v, codes all exactly
+    representable), proving the algebra rather than hiding in tolerance."""
+    monkeypatch.setattr(pallas_quant, "INT4_VARIANT", "2dot")
+    monkeypatch.setattr(pallas_quant, "DOT_F32", dot_f32)
+    K, N = 512, 256
+    rng = np.random.RandomState(11)
+    w = jnp.asarray(rng.randint(-8, 8, (K, N)), jnp.float32)
+    p = formats.quantize_int4(w, group_size=-1)
+    x = jnp.asarray(rng.randint(-4, 4, (1, K)) * 16.0, jnp.float32)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int4_matmul(p, x)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=0, atol=1e-3)
 
 
 @pytest.mark.parametrize("fmt", ["nf4", "fp4"])
