@@ -13,10 +13,13 @@ Axis convention:
               ``finetune/full.py:61-67``); also splits the batch
 - ``tensor``  Megatron-style tensor parallelism over heads / ffn columns
               (absent in the reference; first-class here per BASELINE.json)
+- ``pipe``    GPipe pipeline stages over the stacked-layer axis
+              (``parallel/pipeline.py``; neighbor ``ppermute`` traffic only)
 
 Multi-host: the same mesh spans hosts via ``jax.distributed.initialize``; put
-``tensor`` innermost so its collectives ride ICI, and ``data`` outermost so
-only gradient/step reductions cross DCN.
+``tensor`` innermost so its collectives ride ICI, ``pipe`` next (stage
+hand-offs are nearest-neighbor), and ``data`` outermost so only gradient/step
+reductions cross DCN.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "pipe", "tensor")
 
 
 def make_mesh(
@@ -35,15 +38,16 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     *,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    n = data * fsdp * tensor
+    n = data * fsdp * pipe * tensor
     if n != len(devices):
         raise ValueError(
-            f"mesh {data}x{fsdp}x{tensor}={n} does not match {len(devices)} devices"
+            f"mesh {data}x{fsdp}x{pipe}x{tensor}={n} does not match {len(devices)} devices"
         )
-    grid = np.asarray(devices).reshape(data, fsdp, tensor)
+    grid = np.asarray(devices).reshape(data, fsdp, pipe, tensor)
     return Mesh(grid, AXES)
 
 

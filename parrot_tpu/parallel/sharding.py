@@ -42,14 +42,23 @@ _PARAM_RULES: list[tuple[str, P]] = [
 ]
 
 
-def _spec_for_path(path: str, ndim: int) -> P:
-    for pattern, spec in _PARAM_RULES:
+def _spec_for_path(path: str, ndim: int, pipe: bool = False) -> P:
+    spec = None
+    for pattern, rule in _PARAM_RULES:
         if re.search(pattern, path):
-            pad = ndim - len(spec)
+            pad = ndim - len(rule)
             if pad < 0:  # e.g. grouped int4 scales [n_groups, out] vs P(out)
-                return P(*([None] * (ndim - 1) + [spec[-1]]))
-            return P(*([None] * pad + list(spec)))
-    return P(*([None] * ndim))
+                spec = P(*([None] * (ndim - 1) + [rule[-1]]))
+            else:
+                spec = P(*([None] * pad + list(rule)))
+            break
+    if spec is None:
+        spec = P(*([None] * ndim))
+    if pipe and path.startswith("blocks.") and ndim >= 1 and spec[0] is None:
+        # every leaf under blocks/ carries the stacked n_layer axis first; a
+        # pipeline mesh shards it so each stage holds L/P layers
+        spec = P(*(["pipe"] + list(spec)[1:]))
+    return spec
 
 
 def _iter_leaf_paths(tree: Any, prefix: str = ""):
@@ -69,15 +78,18 @@ def _iter_leaf_paths(tree: Any, prefix: str = ""):
     yield prefix, tree
 
 
-def param_specs(params: Any) -> Any:
+def param_specs(params: Any, *, pipe: bool = False) -> Any:
     """PartitionSpec pytree matching ``params``' structure."""
-    return _map_with_path(params, lambda path, leaf: _spec_for_path(path, leaf.ndim))
+    return _map_with_path(
+        params, lambda path, leaf: _spec_for_path(path, leaf.ndim, pipe=pipe)
+    )
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
+def param_shardings(mesh: Mesh, params: Any, *, pipe: bool = False) -> Any:
+    pipe = pipe or ("pipe" in mesh.axis_names and mesh.shape.get("pipe", 1) > 1)
     return _map_with_path(
         params,
-        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf.ndim)),
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf.ndim, pipe=pipe)),
     )
 
 

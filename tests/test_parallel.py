@@ -37,7 +37,10 @@ CFG = Config(
 
 def test_make_mesh_shapes():
     m = mesh_lib.make_mesh(2, 2, 2)
-    assert m.axis_names == ("data", "fsdp", "tensor")
+    assert m.axis_names == ("data", "fsdp", "pipe", "tensor")
+    assert m.shape["pipe"] == 1
+    m = mesh_lib.make_mesh(1, 2, 1, pipe=4)
+    assert m.shape["pipe"] == 4
     with pytest.raises(ValueError):
         mesh_lib.make_mesh(3, 1, 1)
 
