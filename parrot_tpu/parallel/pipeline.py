@@ -165,31 +165,20 @@ def make_pipeline_train_step(
     *,
     n_micro: int,
     remat: bool = True,
+    **train_kw,
 ):
     """A jitted (params, opt_state, batch) -> (params, opt_state, loss) step
     whose forward/backward run through the GPipe schedule.  Gradients flow
     through the reverse rotation automatically (``ppermute`` transpose), and
     ``data``/``fsdp``/``tensor`` collectives are still GSPMD-inserted.
+
+    Delegates to :func:`parrot_tpu.training.train.make_train_step`, so every
+    loss variant (shift, chunked lm_head, PEFT trainable masks, gradient
+    accumulation) composes with the pipeline.
     """
+    from parrot_tpu.training import train
 
-    import optax
-
-    from parrot_tpu.ops.cross_entropy import chunked_cross_entropy
-
-    def loss_fn(params, input_ids, labels):
-        logits = pipeline_forward(
-            params, config, input_ids, mesh=mesh, n_micro=n_micro, remat=remat
-        )
-        # labels aligned with inputs as in training.train.loss_fn (shift=True)
-        return chunked_cross_entropy(logits[:, :-1], labels[:, 1:])
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, batch["input_ids"], batch["labels"]
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return train_step
+    step = train.make_train_step(
+        config, optimizer, remat=remat, pipeline=(mesh, n_micro), **train_kw
+    )
+    return jax.jit(step, donate_argnums=(0, 1))

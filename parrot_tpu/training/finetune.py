@@ -91,7 +91,8 @@ def finetune(
     log_interval: int = 10,
     eval_max_new_tokens: int = 100,
     seed: int = 1337,
-    mesh_shape: tuple[int, int, int] = (1, 1, 1),
+    mesh_shape: tuple[int, ...] = (1, 1, 1),
+    pipeline_microbatches: int = 1,
     **method_knobs,
 ) -> dict:
     from parrot_tpu.generate.loader import PRECISION_DTYPES, load_model
@@ -113,7 +114,15 @@ def finetune(
     longest, longest_ix = sft.longest_seq_info(train_data)
     seq_length = min(max_seq_length or longest, config.block_size, longest)
 
-    mesh = mesh_lib.make_mesh(*mesh_shape) if np.prod(mesh_shape) > 1 else None
+    # mesh_shape: (data, fsdp, tensor) or (data, fsdp, tensor, pipe)
+    ms = tuple(mesh_shape)
+    pipe = ms[3] if len(ms) > 3 else 1
+    mesh = (
+        mesh_lib.make_mesh(ms[0], ms[1], ms[2], pipe=pipe)
+        if int(np.prod(ms)) > 1
+        else None
+    )
+    pp = (mesh, pipeline_microbatches) if (mesh is not None and pipe > 1) else None
     if mesh is not None:
         params = sharding.shard_params(mesh, params)
 
@@ -123,9 +132,9 @@ def finetune(
     opt_state = optimizer.init(params)
     step_fn = jax.jit(train.make_train_step(
         config, optimizer, accumulate_steps=gradient_accumulation,
-        remat=True, trainable_mask=mask,
+        remat=True, trainable_mask=mask, pipeline=pp,
     ), donate_argnums=(0, 1))
-    eval_fn = jax.jit(train.make_eval_step(config))
+    eval_fn = jax.jit(train.make_eval_step(config, pipeline=pp))
 
     logger = StepCSVLogger(out_dir, name="logs")
     monitor = SpeedMonitor(get_flops_available(), logger.log_dict, window_size=50)

@@ -126,7 +126,8 @@ def pretrain(
     log_interval: int = 10,
     resume: bool = False,
     seed: int = 1337,
-    mesh_shape: tuple[int, int, int] = (1, 1, 1),
+    mesh_shape: tuple[int, ...] = (1, 1, 1),
+    pipeline_microbatches: int = 1,
     profile_dir: Optional[Path] = None,
 ) -> dict:
     from parrot_tpu.generate.loader import PRECISION_DTYPES
@@ -136,7 +137,15 @@ def pretrain(
     config = Config.from_name(model_name)
     dtype = PRECISION_DTYPES[precision]
 
-    mesh = mesh_lib.make_mesh(*mesh_shape) if np.prod(mesh_shape) > 1 else None
+    # mesh_shape: (data, fsdp, tensor) or (data, fsdp, tensor, pipe)
+    ms = tuple(mesh_shape)
+    pipe = ms[3] if len(ms) > 3 else 1
+    mesh = (
+        mesh_lib.make_mesh(ms[0], ms[1], ms[2], pipe=pipe)
+        if int(np.prod(ms)) > 1
+        else None
+    )
+    pp = (mesh, pipeline_microbatches) if (mesh is not None and pipe > 1) else None
     num_processes = jax.process_count() if mesh is not None else 1
     process_rank = jax.process_index() if mesh is not None else 0
 
@@ -169,8 +178,9 @@ def pretrain(
     step_fn = jax.jit(train.make_train_step(
         config, optimizer, accumulate_steps=gradient_accumulation, remat=True,
         shift=False,  # the data pipeline pre-shifts targets below
+        pipeline=pp,
     ), donate_argnums=(0, 1))
-    eval_fn = jax.jit(train.make_eval_step(config, shift=False))
+    eval_fn = jax.jit(train.make_eval_step(config, shift=False, pipeline=pp))
 
     logger = StepCSVLogger(out_dir, name="logs")
     monitor = SpeedMonitor(get_flops_available(), logger.log_dict, window_size=50)

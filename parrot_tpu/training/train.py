@@ -40,14 +40,27 @@ def loss_fn(
     chunk_size: int = 128,
     shift: bool = True,
     lm_head_chunk_size: int = 0,
+    pipeline: Optional[tuple] = None,
 ) -> jnp.ndarray:
+    if pipeline is not None:
+        # GPipe forward over the 'pipe' mesh axis (parallel/pipeline.py);
+        # same numerics as gpt.forward, so every loss variant below applies
+        from parrot_tpu.parallel.pipeline import pipeline_forward
+
+        mesh, n_micro = pipeline
+        forward = functools.partial(
+            pipeline_forward, mesh=mesh, n_micro=n_micro
+        )
+    else:
+        forward = gpt.forward
+
     if lm_head_chunk_size > 0:
         # chunk the lm_head matmul itself: the [B, T, V] logits never
         # materialize (reference: lm_head_chunk_size, lit_gpt/lora.py:561-564
         # + chunked CE over the pieces, finetune/lora.py:191-194)
         from parrot_tpu.ops.linear import apply_linear
 
-        hidden = gpt.forward(params, config, input_ids, remat=remat, return_hidden=True)
+        hidden = forward(params, config, input_ids, remat=remat, return_hidden=True)
         if shift:
             hidden, labels = hidden[:, :-1], labels[:, 1:]
         B, T, D = hidden.shape
@@ -77,7 +90,7 @@ def loss_fn(
         )
         return total / jnp.maximum(count, 1)
 
-    logits = gpt.forward(params, config, input_ids, remat=remat)
+    logits = forward(params, config, input_ids, remat=remat)
     if shift:
         # labels aligned with inputs: logits t predicts label t+1
         # (finetune/full.py:163-165)
@@ -95,6 +108,7 @@ def make_train_step(
     trainable_mask: Optional[Any] = None,
     shift: bool = True,
     lm_head_chunk_size: int = 0,
+    pipeline: Optional[tuple] = None,
 ):
     """Build a jittable ``(params, opt_state, batch) -> (params, opt_state,
     loss)`` step.
@@ -110,7 +124,7 @@ def make_train_step(
     grad_fn = jax.value_and_grad(
         functools.partial(
             loss_fn, config=config, remat=remat, shift=shift,
-            lm_head_chunk_size=lm_head_chunk_size,
+            lm_head_chunk_size=lm_head_chunk_size, pipeline=pipeline,
         )
     )
 
@@ -147,10 +161,17 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(config: Config, *, remat: bool = False, shift: bool = True):
+def make_eval_step(
+    config: Config,
+    *,
+    remat: bool = False,
+    shift: bool = True,
+    pipeline: Optional[tuple] = None,
+):
     def eval_step(params, batch):
         return loss_fn(
-            params, config, batch["input_ids"], batch["labels"], remat=remat, shift=shift
+            params, config, batch["input_ids"], batch["labels"],
+            remat=remat, shift=shift, pipeline=pipeline,
         )
 
     return eval_step

@@ -114,6 +114,31 @@ def test_pipeline_train_step_runs_and_descends():
     assert losses[-1] < losses[0]
 
 
+def test_pipeline_integrates_with_train_step_variants():
+    # the pipeline threads through train.make_train_step: gradient
+    # accumulation + chunked lm_head CE produce the same first-step loss as
+    # the plain path
+    mesh = mesh_lib.make_mesh(1, 2, 1, pipe=4)
+    params = gpt.init_params(CFG, jax.random.PRNGKey(4))
+    optimizer = optim.adamw(optim.warmup_cosine(1e-3, 2, 10), grad_clip=1.0)
+    batch = {
+        "input_ids": _data(8, B=2)[None].repeat(2, 0),  # [A=2, B=2, T]
+        "labels": _data(9, B=2)[None].repeat(2, 0),
+    }
+
+    plain = train.make_train_step(
+        CFG, optimizer, accumulate_steps=2, remat=True, lm_head_chunk_size=8
+    )
+    p1, o1, loss_plain = jax.jit(plain)(params, optimizer.init(params), batch)
+
+    piped = pipeline.make_pipeline_train_step(
+        CFG, optimizer, mesh, n_micro=2, accumulate_steps=2, lm_head_chunk_size=8
+    )
+    sp = sharding.shard_params(mesh, params)
+    p2, o2, loss_pipe = piped(sp, optimizer.init(sp), batch)
+    np.testing.assert_allclose(float(loss_pipe), float(loss_plain), rtol=1e-4)
+
+
 def test_pipeline_rejects_indivisible_shapes():
     params = gpt.init_params(CFG, jax.random.PRNGKey(0))
     mesh = mesh_lib.make_mesh(1, 1, 1, pipe=8)
