@@ -51,6 +51,16 @@ def make_mesh(
     return Mesh(grid, AXES)
 
 
+def parse_mesh(spec: str) -> tuple[int, ...]:
+    """Parse a CLI mesh spec ``"data,fsdp,tensor[,pipe]"`` into a shape tuple."""
+    parts = tuple(int(v) for v in spec.split(","))
+    if len(parts) not in (3, 4):
+        raise ValueError(
+            f"mesh spec {spec!r} must be 'data,fsdp,tensor' or 'data,fsdp,tensor,pipe'"
+        )
+    return parts
+
+
 def single_device_mesh() -> Mesh:
     return make_mesh(1, 1, 1, devices=jax.devices()[:1])
 

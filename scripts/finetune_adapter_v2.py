@@ -21,6 +21,8 @@ def main(
     adapter_prompt_length: int = 10,
     adapter_start_layer: int = 2,
     max_seq_length: Optional[int] = None,
+    mesh: Optional[str] = None,
+    pipeline_microbatches: int = 1,
 ) -> None:
     """Adapter-v2 finetuning (prefix attention + per-linear scale/bias +
     trainable norms); saves only the adapter deltas.
@@ -37,7 +39,10 @@ def main(
         adapter_prompt_length: Learnable prompt prefix length.
         adapter_start_layer: First layer that receives the adapter.
         max_seq_length: Truncate samples to this length.
+        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
+    from parrot_tpu.parallel.mesh import parse_mesh
     from parrot_tpu.training.finetune import finetune
 
     finetune(
@@ -45,6 +50,8 @@ def main(
         learning_rate=learning_rate, batch_size=batch_size,
         micro_batch_size=micro_batch_size, max_iters=max_iters,
         max_seq_length=max_seq_length,
+        mesh_shape=parse_mesh(mesh) if mesh else (1, 1, 1),
+        pipeline_microbatches=pipeline_microbatches,
         adapter_prompt_length=adapter_prompt_length,
         adapter_start_layer=adapter_start_layer,
     )

@@ -20,6 +20,8 @@ def main(
     micro_batch_size: int = 4,
     max_iters: int = 1000,
     max_seq_length: Optional[int] = None,
+    mesh: Optional[str] = None,
+    pipeline_microbatches: int = 1,
 ) -> None:
     """Full-parameter supervised finetuning; saves the whole model.
 
@@ -33,7 +35,10 @@ def main(
         micro_batch_size: Per-step batch size.
         max_iters: Number of optimizer iterations.
         max_seq_length: Truncate samples to this length.
+        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
+    from parrot_tpu.parallel.mesh import parse_mesh
     from parrot_tpu.training.finetune import finetune
 
     finetune(
@@ -41,6 +46,8 @@ def main(
         learning_rate=learning_rate, batch_size=batch_size,
         micro_batch_size=micro_batch_size, max_iters=max_iters,
         max_seq_length=max_seq_length,
+        mesh_shape=parse_mesh(mesh) if mesh else (1, 1, 1),
+        pipeline_microbatches=pipeline_microbatches,
     )
 
 

@@ -29,6 +29,8 @@ def main(
     lora_mlp: bool = False,
     lora_head: bool = False,
     max_seq_length: Optional[int] = None,
+    mesh: Optional[str] = None,
+    pipeline_microbatches: int = 1,
 ) -> None:
     """Finetune with LoRA; saves only the LoRA deltas (filtered checkpoint).
 
@@ -51,7 +53,10 @@ def main(
         lora_mlp: Apply LoRA to the MLP linears.
         lora_head: Apply LoRA to the LM head.
         max_seq_length: Truncate samples to this length.
+        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
+    from parrot_tpu.parallel.mesh import parse_mesh
     from parrot_tpu.training.finetune import finetune
 
     if not any((lora_query, lora_key, lora_value, lora_projection, lora_mlp, lora_head)):
@@ -61,6 +66,8 @@ def main(
         learning_rate=learning_rate, batch_size=batch_size,
         micro_batch_size=micro_batch_size, max_iters=max_iters,
         max_seq_length=max_seq_length,
+        mesh_shape=parse_mesh(mesh) if mesh else (1, 1, 1),
+        pipeline_microbatches=pipeline_microbatches,
         lora_r=lora_r, lora_alpha=lora_alpha, lora_dropout=lora_dropout,
         lora_query=lora_query, lora_key=lora_key, lora_value=lora_value,
         lora_projection=lora_projection, lora_mlp=lora_mlp, lora_head=lora_head,

@@ -55,8 +55,10 @@ def main(
         from parrot_tpu.parallel import mesh as mesh_lib
         from parrot_tpu.parallel import sharding
 
-        d, f, t = (int(v) for v in mesh.split(","))
-        params = sharding.shard_params(mesh_lib.make_mesh(d, f, t), params)
+        ms = mesh_lib.parse_mesh(mesh)
+        if len(ms) > 3 and ms[3] > 1:
+            raise ValueError("pipeline stages apply to training; serve with data/fsdp/tensor")
+        params = sharding.shard_params(mesh_lib.make_mesh(*ms[:3]), params)
 
     encoded = jnp.asarray(tokenizer.encode(prompt), jnp.int32)
     prompt_length = int(encoded.shape[0])

@@ -21,6 +21,8 @@ def main(
     max_iters: int = 600000,
     warmup_iters: int = 2000,
     resume: bool = False,
+    mesh: Optional[str] = None,
+    pipeline_microbatches: int = 1,
 ) -> None:
     """Pretrains on a single packed-dataset corpus.
 
@@ -36,7 +38,10 @@ def main(
         max_iters: Total optimizer iterations.
         warmup_iters: Linear warmup iterations.
         resume: Resume from the latest checkpoint in out_dir.
+        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
+    from parrot_tpu.parallel.mesh import parse_mesh
     from parrot_tpu.training.pretrain import pretrain
 
     pretrain(
@@ -44,6 +49,8 @@ def main(
         precision=precision, learning_rate=learning_rate, batch_size=batch_size,
         gradient_accumulation=gradient_accumulation, max_iters=max_iters,
         warmup_iters=warmup_iters, resume=resume,
+        mesh_shape=parse_mesh(mesh) if mesh else (1, 1, 1),
+        pipeline_microbatches=pipeline_microbatches,
     )
 
 

@@ -22,6 +22,8 @@ def main(
     max_iters: int = 600000,
     warmup_iters: int = 2000,
     resume: bool = False,
+    mesh: Optional[str] = None,
+    pipeline_microbatches: int = 1,
     profile_dir: Optional[Path] = None,
 ) -> None:
     """Pretrains on the weighted RedPajama source mixture (LLaMA-1
@@ -39,8 +41,13 @@ def main(
         max_iters: Total optimizer iterations.
         warmup_iters: Linear warmup iterations.
         resume: Resume from the latest checkpoint in out_dir.
+        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe",
+            e.g. "1,8,1" for ZeRO-3 over 8 chips or "1,2,1,4" for 4 GPipe
+            stages x fsdp=2.
+        pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
         profile_dir: Capture a jax.profiler trace of a 3-step window here.
     """
+    from parrot_tpu.parallel.mesh import parse_mesh
     from parrot_tpu.training.pretrain import REDPAJAMA_DATA_CONFIG, pretrain
 
     pretrain(
@@ -49,6 +56,8 @@ def main(
         learning_rate=learning_rate, batch_size=batch_size,
         gradient_accumulation=gradient_accumulation, max_iters=max_iters,
         warmup_iters=warmup_iters, resume=resume, profile_dir=profile_dir,
+        mesh_shape=parse_mesh(mesh) if mesh else (1, 1, 1),
+        pipeline_microbatches=pipeline_microbatches,
     )
 
 
