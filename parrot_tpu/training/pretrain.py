@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import pickle
 import sys
+import threading
 import time
 from pathlib import Path
 from typing import Optional, Sequence
@@ -134,6 +135,28 @@ def pretrain(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    # preemption handling (beyond the reference, which has none — SURVEY §5):
+    # TPU pods get SIGTERM on maintenance/preemption; finish the in-flight
+    # step, save a resumable train state, then exit cleanly so `--resume`
+    # continues from the boundary. Installed first so even a signal during
+    # setup/compile lands on the flag, not the default handler.
+    preempted = {"flag": False}
+
+    def _request_stop(signum, frame):
+        preempted["flag"] = True
+        print(f"signal {signum}: checkpointing at next step boundary", file=sys.stderr)
+
+    import signal as _signal
+
+    old_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                old_handlers[sig] = _signal.signal(sig, _request_stop)
+            except (ValueError, OSError):  # non-main context or unsupported
+                pass
+
     config = Config.from_name(model_name)
     dtype = PRECISION_DTYPES[precision]
 
@@ -226,6 +249,7 @@ def pretrain(
 
     t_start = time.perf_counter()
     final_loss = float("nan")
+    it = iter_start - 1
     for it in range(iter_start, max_iters):
         profiler.maybe_start(it)
         batch = next_batch()
@@ -261,8 +285,22 @@ def pretrain(
             save_train_state(
                 out_dir / f"iter-{it:06d}-ckpt.safetensors", params, opt_state, it, config
             )
+        if preempted["flag"]:
+            break
+
+    for sig, h in old_handlers.items():
+        _signal.signal(sig, h)
 
     profiler.close()
+    if preempted["flag"]:
+        save_train_state(
+            out_dir / f"iter-{it:06d}-ckpt.safetensors", params, opt_state, it, config
+        )
+        print(f"preemption checkpoint saved at iter {it}; resume with --resume true",
+              file=sys.stderr)
+        logger.finalize()
+        return {"final_loss": final_loss, "params": params, "config": config,
+                "preempted_at": it}
     save_train_state(out_dir / "lit_model_final.safetensors", params, opt_state, max_iters, config)
     logger.finalize()
     return {"final_loss": final_loss, "params": params, "config": config}

@@ -150,6 +150,58 @@ def test_pretrain_and_resume(tmp_path):
     assert np.isfinite(result2["final_loss"])
 
 
+def test_pretrain_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run saves a resumable train state at the step boundary
+    (TPU preemption handling — the reference has no recovery beyond manual
+    resume, SURVEY §5)."""
+    import os
+    import signal
+    import threading
+
+    from parrot_tpu.data.packed_dataset import PackedDatasetBuilder
+    from parrot_tpu.training import pretrain as pt
+
+    data_dir = tmp_path / "bins"
+    data_dir.mkdir()
+    builder = PackedDatasetBuilder(
+        outdir=str(data_dir), prefix="train", chunk_size=129 * 4,
+        sep_token=0, dtype="auto", vocab_size=256,
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        builder.add_array(rng.randint(1, 250, size=500).astype(np.uint16))
+    builder.write_reminder()
+
+    from parrot_tpu.config import name_to_config
+
+    name_to_config.setdefault("pretrain-tiny", dict(
+        name="pretrain-tiny", block_size=128, vocab_size=256, padded_vocab_size=256,
+        n_layer=2, n_head=2, n_embd=32,
+    ))
+    # deliver SIGTERM to the main thread mid-loop; max_iters is unreachably
+    # large, so a preemption checkpoint is the only way the call returns
+    timer = threading.Timer(3.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        result = pt.pretrain(
+            "pretrain-tiny", data_dir, tmp_path / "out", precision="32-true",
+            batch_size=2, max_iters=100000, warmup_iters=1, save_interval=100000,
+            log_interval=1000, learning_rate=1e-3,
+        )
+    finally:
+        timer.cancel()
+    assert "preempted_at" in result
+    latest = pt.latest_checkpoint(tmp_path / "out")
+    assert latest is not None
+    # resume picks up from the preemption checkpoint and finishes
+    result2 = pt.pretrain(
+        "pretrain-tiny", data_dir, tmp_path / "out", precision="32-true",
+        batch_size=2, max_iters=result["preempted_at"] + 2, warmup_iters=1,
+        save_interval=100000, log_interval=1000, learning_rate=1e-3, resume=True,
+    )
+    assert np.isfinite(result2["final_loss"]) and "preempted_at" not in result2
+
+
 def test_convert_lit_checkpoint_roundtrip(tmp_path):
     """parrot -> HF -> parrot must be the identity (and covers the llama
     direction the reference never implemented)."""
