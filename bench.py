@@ -80,9 +80,15 @@ def supervise() -> None:
                 "unit": "no attempt produced output", "vs_baseline": 0,
             }), flush=True)
             return
+        # exponential backoff: every connection attempt appears to re-extend
+        # the remote device claim's idle window, so rapid retries can keep a
+        # wedge alive indefinitely — give the claim progressively longer
+        # quiet windows to expire
+        backoff = min(900.0, 90.0 * (2.0 ** (attempt - 1)))
         print(f"# attempt {attempt} hit a stale device claim; "
-              f"retrying ({remaining:.0f}s budget left)", file=sys.stderr, flush=True)
-        time.sleep(min(90.0, remaining - 180.0))
+              f"retrying in {backoff:.0f}s ({remaining:.0f}s budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(backoff, remaining - 180.0))
 
 
 if os.environ.get("BENCH_CHILD") != "1" and __name__ == "__main__":
