@@ -22,6 +22,8 @@ def main(
     precision: str = "bf16-true",
     kv_cache: str = "bf16",
     mesh: Optional[str] = None,
+    draft_dir: Optional[Path] = None,
+    speculative_k: int = 4,
     seed: int = 1234,
     profile: Optional[Path] = None,
 ) -> None:
@@ -40,6 +42,10 @@ def main(
         kv_cache: KV cache dtype: bf16 or int8.
         mesh: Shard the model over local devices, e.g. "1,1,4" for
             data=1,fsdp=1,tensor=4 (multi-chip serving).
+        draft_dir: Checkpoint dir of a small same-tokenizer draft model;
+            enables speculative decoding (e.g. pythia-70m drafting for
+            pythia-6.9b). Greedy output is identical to normal decoding.
+        speculative_k: Draft tokens proposed per verification pass.
         seed: Random seed for sampling.
         profile: Write a jax.profiler trace of the generation into this
             directory (view with tensorboard/xprof).
@@ -67,17 +73,33 @@ def main(
 
     from parrot_tpu.utils.profiling import profile_trace
 
+    draft = None
+    if draft_dir is not None:
+        from parrot_tpu.generate.speculative import generate_speculative
+
+        draft_config, draft_params, _ = load_model(draft_dir, None, precision)
+        draft = (draft_params, draft_config)
+
+    cache_dtype = jnp.int8 if kv_cache == "int8" else jnp.bfloat16
     rng = jax.random.PRNGKey(seed)
     with profile_trace(profile):
         for i in range(num_samples):
             rng, sample_rng = jax.random.split(rng)
             t0 = time.perf_counter()
-            tokens, n = engine.generate(
-                params, config, encoded, sample_rng,
-                max_returned_tokens=max_returned_tokens,
-                temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
-                cache_dtype=jnp.int8 if kv_cache == "int8" else jnp.bfloat16,
-            )
+            if draft is not None:
+                tokens, n, stats = generate_speculative(
+                    params, config, draft[0], draft[1], encoded, sample_rng,
+                    max_returned_tokens=max_returned_tokens, k=speculative_k,
+                    temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
+                    cache_dtype=cache_dtype,
+                )
+            else:
+                tokens, n = engine.generate(
+                    params, config, encoded, sample_rng,
+                    max_returned_tokens=max_returned_tokens,
+                    temperature=temperature, top_k=top_k, eos_id=tokenizer.eos_id,
+                    cache_dtype=cache_dtype,
+                )
             n = int(n)  # device sync
             t = time.perf_counter() - t0
             print(tokenizer.decode(tokens[:n]))
@@ -86,6 +108,13 @@ def main(
                 f" {(n - prompt_length) / t:.02f} tokens/sec",
                 file=sys.stderr,
             )
+            if draft is not None:
+                r, c = stats["rounds"], stats["tokens_committed"]
+                print(
+                    f"speculative: {r} target passes for {c} tokens "
+                    f"({(c - r) / max(r * speculative_k, 1):.0%} draft acceptance)",
+                    file=sys.stderr,
+                )
     if (report := device_memory_report()) is not None:
         print(report, file=sys.stderr)
 
