@@ -51,10 +51,11 @@ def supervise() -> None:
         env = dict(os.environ)
         env["BENCH_CHILD"] = "1"
         env["BENCH_BUDGET_S"] = str(max(60.0, remaining - 15.0))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env, text=True,
-        )
+        with open(f"/tmp/bench_child_{attempt}.err", "w") as err_f:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE, stderr=err_f, env=env, text=True,
+            )
         line = None
         for out in (proc.stdout or "").splitlines():
             out = out.strip()
@@ -216,5 +217,5 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # never leave the driver without a JSON line
         STATE["metric"] = "bench_error"
-        emit(0.0, unit=str(e)[:200])
+        emit(0.0, unit=f"stage={STATE['stage']}: {str(e)[:170]}")
         sys.exit(1)

@@ -17,6 +17,8 @@ def main(
     quantize: Optional[str] = None,
     precision: str = "bf16-true",
     max_new_tokens: int = 256,
+    draft_dir: Optional[Path] = None,
+    speculative_k: int = 4,
 ) -> None:
     """Starts a conversation with a tuned model.
 
@@ -27,6 +29,9 @@ def main(
         quantize: Quantization mode (bnb.* or gptq.int4).
         precision: bf16-true or 32-true.
         max_new_tokens: Per-reply generation budget.
+        draft_dir: Checkpoint dir of a small same-tokenizer draft model;
+            enables speculative decoding of each reply.
+        speculative_k: Draft tokens proposed per verification pass.
     """
     import jax
     import jax.numpy as jnp
@@ -37,6 +42,13 @@ def main(
 
     config, params, tokenizer = load_model(checkpoint_dir, quantize, precision)
     system_prompt, stop_tokens = prompt_config(checkpoint_dir, tokenizer)
+
+    draft = None
+    if draft_dir is not None:
+        from parrot_tpu.generate.speculative import generate_stream_speculative
+
+        draft_config, draft_params, _ = load_model(draft_dir, None, precision)
+        draft = (draft_params, draft_config)
 
     rng = jax.random.PRNGKey(1234)
     print("Chat ready — empty prompt or Ctrl-C to exit.", file=sys.stderr)
@@ -57,12 +69,21 @@ def main(
         # chat/base.py:98-117)
         produced: list[int] = []
         printed = ""
-        try:
-            for tok in engine.generate_stream(
+        if draft is not None:
+            stream = generate_stream_speculative(
+                params, config, draft[0], draft[1], encoded, turn_rng,
+                max_returned_tokens=int(encoded.shape[0]) + max_new_tokens,
+                k=speculative_k, temperature=temperature, top_k=top_k,
+                stop_tokens=stop_tokens, eos_id=tokenizer.eos_id,
+            )
+        else:
+            stream = engine.generate_stream(
                 params, config, encoded, turn_rng,
                 max_returned_tokens=int(encoded.shape[0]) + max_new_tokens,
                 temperature=temperature, top_k=top_k, stop_tokens=stop_tokens,
-            ):
+            )
+        try:
+            for tok in stream:
                 produced.append(int(tok))
                 text = tokenizer.decode(produced)
                 print(text[len(printed):], end="", flush=True)

@@ -169,3 +169,67 @@ def test_vocab_mismatch_rejected(models):
             params, CFG, draft_bad, bad, PROMPT, jax.random.PRNGKey(5),
             max_returned_tokens=20, temperature=0.0,
         )
+
+
+def test_stream_greedy_matches_plain_stream(models):
+    from parrot_tpu.generate.speculative import generate_stream_speculative
+
+    params, draft = models
+    ref = list(engine.generate_stream(
+        params, CFG, PROMPT, jax.random.PRNGKey(7),
+        max_returned_tokens=40, temperature=0.0, cache_dtype=jnp.float32,
+    ))
+    for k in (1, 3):
+        got = list(generate_stream_speculative(
+            params, CFG, draft, DRAFT_CFG, PROMPT, jax.random.PRNGKey(7),
+            max_returned_tokens=40, k=k, temperature=0.0, cache_dtype=jnp.float32,
+        ))
+        assert got == ref and len(ref) > 0
+
+
+def test_stream_stop_tokens_withheld(models):
+    from parrot_tpu.generate.speculative import generate_stream_speculative
+
+    params, draft = models
+    ref = list(engine.generate_stream(
+        params, CFG, PROMPT, jax.random.PRNGKey(7),
+        max_returned_tokens=40, temperature=0.0, cache_dtype=jnp.float32,
+    ))
+    # stop at a 2-token sequence the greedy stream actually produces
+    stop = (tuple(ref[8:10]),)
+    ref_stop = list(engine.generate_stream(
+        params, CFG, PROMPT, jax.random.PRNGKey(7),
+        max_returned_tokens=40, temperature=0.0, stop_tokens=stop,
+        cache_dtype=jnp.float32,
+    ))
+    got = list(generate_stream_speculative(
+        params, CFG, draft, DRAFT_CFG, PROMPT, jax.random.PRNGKey(7),
+        max_returned_tokens=40, k=3, temperature=0.0, stop_tokens=stop,
+        cache_dtype=jnp.float32,
+    ))
+    assert got == ref_stop
+    assert got == ref[:8]  # stop sequence itself withheld
+
+
+def test_chat_repl_with_draft(tmp_path, capsys, monkeypatch):
+    """chat.py --draft_dir streams a reply through speculative decoding."""
+    import sys
+    from pathlib import Path
+
+    from helpers import make_checkpoint
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import chat as chat_script
+
+    checkpoint_dir, _ = make_checkpoint(tmp_path)
+    draft_dir, _ = make_checkpoint(
+        tmp_path / "draft", config_overrides=dict(name="tiny-draft", n_layer=1, n_head=2)
+    )
+    prompts = iter(["Hi there", ""])
+    monkeypatch.setattr("builtins.input", lambda *_: next(prompts))
+    chat_script.main(
+        checkpoint_dir=checkpoint_dir, precision="32-true", max_new_tokens=6,
+        temperature=0.0, draft_dir=draft_dir, speculative_k=2,
+    )
+    out = capsys.readouterr().out
+    assert ">> Reply:" in out
