@@ -44,6 +44,7 @@ def supervise() -> None:
     budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
     t0 = time.monotonic()
     attempt = 0
+    transient_fails = 0
     last_line = None
     while True:
         attempt += 1
@@ -51,11 +52,20 @@ def supervise() -> None:
         env = dict(os.environ)
         env["BENCH_CHILD"] = "1"
         env["BENCH_BUDGET_S"] = str(max(60.0, remaining - 15.0))
+        # fallback ladder: if the 7B program keeps hitting ResourceExhausted
+        # (the relay rejects ~4 GB-weight programs in some states even though
+        # raw allocations of 12+ GB succeed), drop to the 3B int4 bench —
+        # BASELINE.json config "StableLM-3B weight-only decode, single chip" —
+        # rather than burn the whole budget and land an error line
+        if "BENCH_MODE" not in os.environ and transient_fails >= 2:
+            env["BENCH_MODE"] = "int4-3b"
+        t_child = time.monotonic()
         with open(f"/tmp/bench_child_{attempt}.err", "w") as err_f:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 stdout=subprocess.PIPE, stderr=err_f, env=env, text=True,
             )
+        child_s = time.monotonic() - t_child
         line = None
         for out in (proc.stdout or "").splitlines():
             out = out.strip()
@@ -74,6 +84,7 @@ def supervise() -> None:
             if not (metric == "bench_error" and transient):
                 print(line, flush=True)
                 return
+            transient_fails += 1
         remaining = budget - (time.monotonic() - t0)
         if remaining < 240.0:
             print(last_line or json.dumps({
@@ -81,12 +92,20 @@ def supervise() -> None:
                 "unit": "no attempt produced output", "vs_baseline": 0,
             }), flush=True)
             return
-        # exponential backoff: every connection attempt appears to re-extend
-        # the remote device claim's idle window, so rapid retries can keep a
-        # wedge alive indefinitely — give the claim progressively longer
-        # quiet windows to expire
-        backoff = min(900.0, 90.0 * (2.0 ** (attempt - 1)))
-        print(f"# attempt {attempt} hit a stale device claim; "
+        # Two failure signatures, two cures. A child that dies within ~2 min
+        # hit a stale device claim (wedge) — back off exponentially, since
+        # every connection attempt re-extends the claim's idle window. A
+        # child that ran for minutes before ResourceExhausted got the device
+        # fine and lost on program memory — retrying the same program after a
+        # long sleep is pointless; retry quickly so the mode ladder (above)
+        # kicks in while budget remains.
+        if child_s < 120.0:
+            backoff = min(900.0, 90.0 * (2.0 ** (attempt - 1)))
+            why = "stale device claim"
+        else:
+            backoff = 15.0
+            why = f"program ResourceExhausted after {child_s:.0f}s"
+        print(f"# attempt {attempt}: {why}; "
               f"retrying in {backoff:.0f}s ({remaining:.0f}s budget left)",
               file=sys.stderr, flush=True)
         time.sleep(min(backoff, remaining - 180.0))
@@ -200,6 +219,18 @@ def main() -> None:
         STATE["stage"] = "init_params"
         params = gpt.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         tok_s = bench_decode(config, params, jnp.bfloat16)
+    elif mode == "int4-3b":
+        # fallback rung: BASELINE.json config "StableLM-3B weight-only
+        # decode, single chip"; baseline = the reference's own TPU number
+        # (bf16 v4-8 steady state, tutorials/tpus.md:55) since it publishes
+        # no 3B quantized figure
+        STATE["metric"] = f"stablelm-3b gptq.int4 + int8-KV decode tok/s (1 chip, {kind})"
+        STATE["baseline"] = 25.0
+        config = Config.from_name("stablelm-base-alpha-3b")
+        STATE["stage"] = "init_params"
+        params = api.init_quantized_params(config, jax.random.PRNGKey(0), "gptq.int4")
+        jax.block_until_ready(params["lm_head"].qw)
+        tok_s = bench_decode(config, params, jnp.int8)
     else:
         STATE["metric"] = f"falcon-7b gptq.int4 + int8-KV decode tok/s (1 chip, {kind})"
         STATE["baseline"] = 6.48  # A100 40GB, tutorials/quantize.md:127-128
