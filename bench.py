@@ -160,42 +160,39 @@ def watchdog(budget_s: float) -> None:
 
 
 def bench_decode(config, params, cache_dtype, n_steps: int = 96) -> float:
+    from parrot_tpu.generate.engine import decode_steps
     from parrot_tpu.models import gpt
-    from parrot_tpu.ops.sampling import sample
 
     cache = gpt.KVCache.init(config, 1, 512, dtype=cache_dtype)
 
-    # donate the cache: without donation every step round-trips the whole
-    # cache through fresh HBM buffers
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(params, tok, cache, pos, rng):
-        logits, cache = gpt.forward_cached(params, config, tok[None, None], cache, pos)
-        return sample(rng, logits[0, -1], temperature=0.8, top_k=200), cache
+    # one dispatched program per `chunk` tokens (lax.scan inside; cache
+    # donated so the buffers are reused in place); the watchdog still sees
+    # progress at chunk granularity
+    chunk = 16
+    step = functools.partial(
+        decode_steps, config=config, n_steps=chunk, temperature=0.8, top_k=200
+    )
 
     tok = jnp.asarray(1, jnp.int32)
     rng = jax.random.PRNGKey(0)
     pos = 0
     STATE["stage"] = "compile+warmup"
-    for _ in range(8):
-        rng, r = jax.random.split(rng)
-        tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
-        pos += 1
+    toks, cache, rng = step(params, tok, cache, jnp.asarray(pos, jnp.int32), rng)
+    tok = toks[-1]
+    pos += chunk
     int(tok)  # device->host fetch: the only reliable barrier on lazy backends
     STATE["stage"] = "timed"
     STATE["t0"] = STATE["t_last"] = time.perf_counter()
-    # time in chunks so the watchdog can report partial progress
-    chunk = 16
     done = 0
     while done < n_steps:
-        for _ in range(min(chunk, n_steps - done)):
-            rng, r = jax.random.split(rng)
-            tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
-            pos += 1
+        toks, cache, rng = step(params, tok, cache, jnp.asarray(pos, jnp.int32), rng)
+        tok = toks[-1]
+        pos += chunk
         int(tok)
-        done += min(chunk, n_steps - done)
+        done += chunk
         STATE["steps"] = done
         STATE["t_last"] = time.perf_counter()
-    return n_steps / (STATE["t_last"] - STATE["t0"])
+    return done / (STATE["t_last"] - STATE["t0"])
 
 
 def main() -> None:

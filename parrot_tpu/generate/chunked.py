@@ -2,15 +2,22 @@
 
 Why this exists: the single-program decode step passes the entire parameter
 tree to one XLA executable. On some runtimes that is a liability — the axon
-TPU relay in this environment rejects executions whose argument tree exceeds
-roughly 3 GB with a bare ``RESOURCE_EXHAUSTED`` even though the compiled
-program's own footprint (args + temps + code, per
+TPU relay in this environment (in its degraded state; see PERF.md "Relay
+HBM budget") rejects large executions with a bare ``RESOURCE_EXHAUSTED``
+even though the compiled program's own footprint (args + temps + code, per
 ``compiled.memory_analysis()``) fits in a fraction of HBM and raw
-allocations of 4x the size succeed.  Splitting the layer stack into chunks
-puts every program back in the proven-working regime while keeping all
-tensors resident on device; only the [B, T, n_embd] hidden state flows
-between programs, so the extra cost is one dispatch per chunk per step
-(~0.5 ms on the relay) — noise against a 7B model's ~13 ms/token decode.
+allocations of 4x the size succeed. Isolation experiments put the working
+regime at roughly 4 GB of *cumulative bytes touched by executions* per
+process — one 2.3 GB-arg program runs (even with 1.5 GB more resident), a
+3.1 GB-arg program does not, and a second 1.8 GB-arg program after a
+2.3 GB-arg one does not. Splitting the layer stack into chunks keeps each
+program small while keeping all tensors resident on device; only the
+[B, T, n_embd] hidden state flows between programs, so the extra cost is
+one dispatch per chunk per step (~0.5 ms on the relay) — noise against a
+7B model's ~13 ms/token decode. (In the degraded relay state even the
+chunked 7B trips the cumulative cap; in the healthy state — round 1 — the
+fused 7B runs unchunked. The executor is kept for its multi-mesh placement
+value, not as a relay workaround.)
 
 This is also the natural executor shape for models whose weights exceed one
 chip's HBM (chunks can be placed on different meshes or swapped), which is

@@ -289,6 +289,40 @@ def _decode_step(params, tok, cache, pos, rng, *, config, temperature, top_k, to
     return nxt, cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_steps", "temperature", "top_k", "top_p"),
+    donate_argnums=(2,),
+)
+def decode_steps(
+    params, tok, cache, pos, rng, *, config, n_steps, temperature, top_k, top_p=None
+):
+    """Take ``n_steps`` sampled decode steps in ONE dispatched program.
+
+    A ``lax.scan`` over single-token steps: same numerics as calling
+    ``_decode_step`` ``n_steps`` times, but the host dispatches once per
+    chunk instead of once per token — on remote-runtime backends each
+    dispatch costs ~0.5 ms, which at 3B decode speeds is ~6% of the step.
+    The RNG chain also advances on device (no per-token host splits).
+
+    Returns ``(toks [n_steps], cache, rng)``; ``toks[-1]`` is the next input
+    token. The reference has no analogue (its Python loop is per-token,
+    ``generate/base.py:131-157``).
+    """
+
+    def body(carry, _):
+        tok, cache, pos, rng = carry
+        logits, cache = gpt.forward_cached(params, config, tok[None, None], cache, pos)
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample(step_rng, logits[0, -1], temperature, top_k, top_p)
+        return (nxt, cache, pos + 1, rng), nxt
+
+    (tok, cache, pos, rng), toks = lax.scan(
+        body, (tok, cache, pos.astype(jnp.int32), rng), None, length=n_steps
+    )
+    return toks, cache, rng
+
+
 def generate_stream(
     params,
     config: Config,

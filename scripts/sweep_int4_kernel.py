@@ -21,7 +21,11 @@ is its Triton autotune configs (``quantize/gptq.py:63-100``).
 
 import functools
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.resolve()))
 
 import jax
 

@@ -232,3 +232,51 @@ def test_stream_second_turn_no_recompile():
         params, CFG, jnp.array([4, 5, 6, 7, 8], jnp.int32), jax.random.PRNGKey(1), **kw))
     assert engine._prefill_jit._cache_size() == n_pre
     assert engine._decode_step._cache_size() == n_dec
+
+
+def test_decode_steps_matches_stepwise():
+    """The fused scan chunk must reproduce the per-token _decode_step chain."""
+    params = make_params()
+    n = 6
+
+    def run_stepwise():
+        cache = gpt.KVCache.init(CFG, 1, 16, dtype=jnp.float32)
+        tok = jnp.asarray(1, jnp.int32)
+        rng = jax.random.PRNGKey(7)
+        out = []
+        for pos in range(n):
+            rng, r = jax.random.split(rng)
+            tok, cache = engine._decode_step(
+                params, tok, cache, jnp.asarray(pos, jnp.int32), r,
+                config=CFG, temperature=0.8, top_k=8,
+            )
+            out.append(int(tok))
+        return out
+
+    cache = gpt.KVCache.init(CFG, 1, 16, dtype=jnp.float32)
+    toks, _, _ = engine.decode_steps(
+        params, jnp.asarray(1, jnp.int32), cache, jnp.asarray(0, jnp.int32),
+        jax.random.PRNGKey(7), config=CFG, n_steps=n, temperature=0.8, top_k=8,
+    )
+    assert run_stepwise() == [int(t) for t in toks]
+
+
+def test_decode_steps_chunks_chain():
+    """Two chained chunks equal one double-length chunk (cache + rng thread)."""
+    params = make_params()
+    cache = gpt.KVCache.init(CFG, 1, 16, dtype=jnp.float32)
+    toks_a, cache, rng = engine.decode_steps(
+        params, jnp.asarray(2, jnp.int32), cache, jnp.asarray(0, jnp.int32),
+        jax.random.PRNGKey(3), config=CFG, n_steps=4, temperature=0.0, top_k=None,
+    )
+    toks_b, _, _ = engine.decode_steps(
+        params, toks_a[-1], cache, jnp.asarray(4, jnp.int32), rng,
+        config=CFG, n_steps=4, temperature=0.0, top_k=None,
+    )
+    cache2 = gpt.KVCache.init(CFG, 1, 16, dtype=jnp.float32)
+    toks_full, _, _ = engine.decode_steps(
+        params, jnp.asarray(2, jnp.int32), cache2, jnp.asarray(0, jnp.int32),
+        jax.random.PRNGKey(3), config=CFG, n_steps=8, temperature=0.0, top_k=None,
+    )
+    got = [int(t) for t in toks_a] + [int(t) for t in toks_b]
+    assert got == [int(t) for t in toks_full]
