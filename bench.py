@@ -51,7 +51,14 @@ def supervise() -> None:
         remaining = budget - (time.monotonic() - t0)
         env = dict(os.environ)
         env["BENCH_CHILD"] = "1"
-        env["BENCH_BUDGET_S"] = str(max(60.0, remaining - 15.0))
+        # early attempts get a capped budget so a child blocked on a stale
+        # device claim (or a pathologically slow cold compile) leaves time to
+        # retry / drop down the mode ladder; once the ladder has engaged, the
+        # child gets everything that is left
+        child_budget = max(60.0, remaining - 15.0)
+        if transient_fails < 2:
+            child_budget = min(child_budget, 480.0)
+        env["BENCH_BUDGET_S"] = str(child_budget)
         # fallback ladder: if the 7B program keeps hitting ResourceExhausted
         # (the relay rejects ~4 GB-weight programs in some states even though
         # raw allocations of 12+ GB succeed), drop to the 3B int4 bench —
@@ -67,6 +74,7 @@ def supervise() -> None:
             )
         child_s = time.monotonic() - t_child
         line = None
+        stalled = False
         for out in (proc.stdout or "").splitlines():
             out = out.strip()
             if out.startswith("{"):
@@ -81,7 +89,14 @@ def supervise() -> None:
             metric = str(rec.get("metric", ""))
             unit = str(rec.get("unit", ""))
             transient = "RESOURCE_EXHAUSTED" in unit or "ResourceExhausted" in unit
-            if not (metric == "bench_error" and transient):
+            # a watchdog that fired before the timed loop started means the
+            # child never got a working device (stale claim / endless
+            # compile) — that is transient, not a result
+            stalled = metric == "bench_watchdog" and (
+                "stage=init_params" in unit or "stage=import" in unit
+                or "stage=compile" in unit
+            )
+            if not (metric == "bench_error" and transient) and not stalled:
                 print(line, flush=True)
                 return
             transient_fails += 1
@@ -99,7 +114,7 @@ def supervise() -> None:
         # fine and lost on program memory — retrying the same program after a
         # long sleep is pointless; retry quickly so the mode ladder (above)
         # kicks in while budget remains.
-        if child_s < 120.0:
+        if child_s < 120.0 or stalled:
             backoff = min(900.0, 90.0 * (2.0 ** (attempt - 1)))
             why = "stale device claim"
         else:

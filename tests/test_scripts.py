@@ -330,3 +330,48 @@ def test_prompt_config_templates(tmp_path):
     assert "[INST]" in sp
     sp, _ = prompt_config(Path("somewhere/else"), tok)
     assert sp == "{prompt}"
+
+
+def test_bench_supervisor_ladder_and_stall_handling(monkeypatch, capsys):
+    """The bench supervisor must retry transient failures, treat a
+    pre-timed-loop watchdog as a stall (not a result), engage the 3B ladder
+    after two transient fails, and print the first real measurement."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", Path(__file__).parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    monkeypatch.setenv("BENCH_CHILD", "1")  # module import must not supervise
+    spec.loader.exec_module(bench)
+    monkeypatch.delenv("BENCH_CHILD")
+    monkeypatch.delenv("BENCH_MODE", raising=False)
+    monkeypatch.setenv("BENCH_BUDGET_S", "10000")
+
+    children = [
+        # attempt 1: watchdog fired while stuck acquiring the device
+        '{"metric": "bench_watchdog", "value": 0.0, '
+        '"unit": "watchdog fired during stage=init_params", "vs_baseline": 0}',
+        # attempt 2: 7B program lost on memory
+        '{"metric": "bench_error", "value": 0.0, '
+        '"unit": "stage=timed: RESOURCE_EXHAUSTED: TPU backend error", "vs_baseline": 0}',
+        # attempt 3 (ladder -> int4-3b): real number
+        '{"metric": "stablelm-3b gptq.int4", "value": 128.5, '
+        '"unit": "tok/s", "vs_baseline": 5.1}',
+    ]
+    modes = []
+
+    class FakeProc:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    def fake_run(cmd, stdout=None, stderr=None, env=None, text=None):
+        modes.append(env.get("BENCH_MODE"))
+        return FakeProc(children[len(modes) - 1])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.supervise()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1].startswith('{"metric": "stablelm-3b gptq.int4"')
+    assert modes == [None, None, "int4-3b"], modes
