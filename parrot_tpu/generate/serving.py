@@ -104,6 +104,39 @@ def _decode_all_slots(
     return nxt, cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_steps", "temperature", "top_k", "top_p"),
+    donate_argnums=(1,),
+)
+def _decode_burst(
+    params, cache: KVCache, cur: jnp.ndarray, positions: jnp.ndarray, rng,
+    *, config: Config, n_steps: int,
+    temperature: float, top_k: Optional[int], top_p: Optional[float],
+):
+    """``n_steps`` lock-step decodes for all slots in ONE dispatched scan.
+
+    Returns ``(toks [n_steps, slots], cache, cur)``. Numerically each
+    iteration equals one ``_decode_all_slots`` call; the host only syncs at
+    burst end, trading admission/retirement granularity for dispatch count
+    (the throughput knob of ``ServingEngine.step_burst``).
+    """
+
+    def body(carry, _):
+        cache, cur, positions, rng = carry
+        logits, cache = gpt.forward_decode_batched(
+            params, config, cur[:, None], cache, positions
+        )
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample(step_rng, logits[:, 0], temperature, top_k, top_p)
+        return (cache, nxt, positions + 1, rng), nxt
+
+    (cache, cur, positions, rng), toks = lax.scan(
+        body, (cache, cur, positions, rng), None, length=n_steps
+    )
+    return toks, cache, cur
+
+
 class ServingEngine:
     """Slot-based continuous batching around the ragged decode step.
 
@@ -197,11 +230,56 @@ class ServingEngine:
                 finished.append(req)
         return finished
 
-    def run_until_drained(self, max_steps: int = 1_000_000) -> None:
+    def step_burst(self, n: int = 8) -> list[Request]:
+        """Admit, then decode ``n`` lock-step tokens in one dispatch.
+
+        Retirement only happens at burst boundaries: a request that hits EOS
+        or its budget mid-burst keeps its slot (computing ignored tokens)
+        until the burst ends, and its post-EOS tokens are dropped host-side —
+        the classic batching granularity/throughput tradeoff. TTFT is
+        unaffected (first tokens come from admission prefill). Stale KV rows
+        written past a retired request's end are invisible to the slot's next
+        occupant (position masking; same argument as bucketed prefill).
+        """
+        self._admit()
+        active = [b for b, r in enumerate(self.occupant) if r is not None]
+        if not active:
+            return []
+
+        positions = jnp.asarray(
+            np.where([r is not None for r in self.occupant], self.pos - 1, 0),
+            jnp.int32,
+        )
+        self.rng, step_rng = jax.random.split(self.rng)
+        toks, self.cache, self.cur = _decode_burst(
+            self.params, self.cache, self.cur, positions, step_rng,
+            config=self.config, n_steps=n, **self.sampling,
+        )
+        toks = np.asarray(toks)  # [n, slots] host sync, once per burst
+        now = time.perf_counter()
+
+        finished = []
+        for b in active:
+            req = self.occupant[b]
+            for i in range(n):
+                tok = int(toks[i, b])
+                req.produced.append(tok)
+                self.pos[b] += 1
+                hit_eos = self.eos_id is not None and tok == self.eos_id
+                if hit_eos or len(req.produced) >= req.max_new_tokens:
+                    req.done, req.t_done = True, now
+                    self.occupant[b] = None
+                    finished.append(req)
+                    break
+        return finished
+
+    def run_until_drained(
+        self, max_steps: int = 1_000_000, burst: int = 1
+    ) -> None:
         for _ in range(max_steps):
             if not self.has_work():
                 return
-            self.step()
+            self.step() if burst <= 1 else self.step_burst(burst)
 
     # -- internals ----------------------------------------------------------
 

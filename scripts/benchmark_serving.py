@@ -29,6 +29,7 @@ def main(
     continuous: bool = False,
     n_requests: int = 16,
     arrival_interval_ms: float = 50.0,
+    burst: int = 1,
 ) -> None:
     """Benchmarks the serving path.
 
@@ -49,6 +50,10 @@ def main(
             p50/p90 and aggregate throughput.
         n_requests: (continuous) total requests to serve.
         arrival_interval_ms: (continuous) wall-clock gap between arrivals.
+        burst: (continuous) decode tokens per dispatch between
+            admission/retirement checks (ServingEngine.step_burst);
+            1 = per-token admission (lowest queueing delay), 8-16 =
+            fewer dispatches + host syncs (highest throughput).
     """
     import jax
     import jax.numpy as jnp
@@ -79,7 +84,7 @@ def main(
             config, params, cache_dtype, prompt_length=prompt_length,
             max_new_tokens=max_new_tokens, slots=batch_size,
             n_requests=n_requests, arrival_interval_ms=arrival_interval_ms,
-            quantize=quantize, kv_cache=kv_cache, seed=seed,
+            quantize=quantize, kv_cache=kv_cache, seed=seed, burst=burst,
         )
         return
 
@@ -150,7 +155,7 @@ def main(
 
 def _run_continuous(
     config, params, cache_dtype, *, prompt_length, max_new_tokens, slots,
-    n_requests, arrival_interval_ms, quantize, kv_cache, seed,
+    n_requests, arrival_interval_ms, quantize, kv_cache, seed, burst=1,
 ):
     """Concurrent-arrival benchmark over the continuous-batching engine:
     requests arrive on a wall-clock schedule, are admitted into free decode
@@ -177,7 +182,7 @@ def _run_continuous(
     )
     # warmup: compile prefill buckets + decode program on a throwaway request
     warm = eng.submit(prompts[0][:prompt_length], max_new_tokens=2)
-    eng.run_until_drained()
+    eng.run_until_drained(burst=burst)
     warm.produced.clear()
 
     t_start = _time.perf_counter()
@@ -191,7 +196,7 @@ def _run_continuous(
             submitted += 1
             next_arrival += arrival_interval_ms / 1e3
         if eng.has_work():
-            eng.step()
+            eng.step() if burst <= 1 else eng.step_burst(burst)
         else:
             _time.sleep(min(0.001, max(0.0, next_arrival - now)))
     t_total = _time.perf_counter() - t_start
@@ -209,6 +214,7 @@ def _run_continuous(
         "slots": slots,
         "n_requests": n_requests,
         "arrival_interval_ms": arrival_interval_ms,
+        "burst": burst,
         "ttft_p50_ms": round(float(np.percentile(ttfts, 50)), 2),
         "ttft_p90_ms": round(float(np.percentile(ttfts, 90)), 2),
         "aggregate_tok_s": round(total_tokens / t_total, 2),

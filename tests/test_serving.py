@@ -93,3 +93,30 @@ def test_staggered_admission_mid_decode():
     eng.run_until_drained(max_steps=100)
     assert ra.produced == want_a
     assert rb.produced == want_b
+
+
+def test_burst_matches_single_stream_greedy():
+    """step_burst(n) must produce the same greedy tokens as per-step serving,
+    with mid-burst retirements truncated host-side."""
+    params = make_params()
+    prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9], [2, 4]]
+    expected = [_reference_tokens(params, p, 7) for p in prompts]
+
+    eng = ServingEngine(params, CFG, slots=2, temperature=0.0)
+    reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+    eng.run_until_drained(max_steps=100, burst=4)
+    for req, want in zip(reqs, expected):
+        assert req.done
+        assert req.produced == want, (req.produced, want)
+        assert req.ttft is not None and req.t_done is not None
+
+
+def test_burst_budget_exact():
+    """A request whose budget ends mid-burst must stop at exactly
+    max_new_tokens produced."""
+    params = make_params()
+    eng = ServingEngine(params, CFG, slots=1, temperature=0.0)
+    req = eng.submit([1, 2, 3], max_new_tokens=5)  # 1 from admit + 4 decodes
+    eng.run_until_drained(max_steps=50, burst=8)   # burst overshoots budget
+    assert req.done and len(req.produced) == 5
+    assert req.produced == _reference_tokens(params, [1, 2, 3], 5)
