@@ -180,7 +180,11 @@ def _int4_kernel(
 INT4_VARIANT = "2dot"
 # Feed f32 straight into the MXU dots (skips the f32->bf16 pass over weight
 # codes; the MXU runs f32 as multiple bf16 passes, irrelevant at decode M).
-DOT_F32 = False
+# Default True per the round-2 TPU sweep (scripts/sweep_int4_kernel.py):
+# in-model 3B decode 184.9 tok/s (2dot-f32) vs 174.5 (grouped) vs 159.5
+# (2dot-bf16); W8A8 measured 198.9 but stays opt-in (activation-int8
+# numerics).
+DOT_F32 = True
 
 
 def _int4_2dot_kernel(

@@ -24,6 +24,44 @@ def top_k_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
+def top_k_mask_bisect(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact ``top_k_mask`` without a sort: bisect for the k-th largest value
+    in float *bit space*.
+
+    f32 values map monotonically to uint32 via the sign-flip trick, so ~32
+    halvings of the bit interval pin the k-th largest logit exactly; each
+    iteration is one compare+count pass over V — O(32·V) elementwise work and
+    no O(V log V) sort, which at decode shapes (V≈50k, k≈200) can beat
+    ``lax.top_k``'s sort-based lowering. Returns the same mask as
+    ``top_k_mask`` (everything strictly below the k-th largest → -inf) for
+    every input where the k-th largest is unique; with duplicated boundary
+    values both functions keep all ties anyway.
+    """
+    k = min(k, logits.shape[-1])
+    x = logits.astype(jnp.float32)
+    bits = lax.bitcast_convert_type(x, jnp.int32)
+    # order-preserving map to uint32: flip all bits of negatives, sign bit of
+    # positives (NaNs excluded by construction of logits/temperature)
+    ux = jnp.where(bits < 0, ~bits, bits ^ jnp.int32(-0x80000000)).astype(jnp.uint32)
+
+    def body(i, state):
+        lo, hi = state  # invariant: count(>= hi) < k <= count(>= lo)
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum(ux >= mid[..., None], axis=-1)
+        take_hi = cnt >= k  # mid still has >= k above it: raise lo
+        lo = jnp.where(take_hi, mid, lo)
+        hi = jnp.where(take_hi, hi, mid)
+        return lo, hi
+
+    shape = x.shape[:-1]
+    lo = jnp.zeros(shape, jnp.uint32)
+    hi = jnp.full(shape, jnp.uint32(0xFFFFFFFF))
+    lo, hi = lax.fori_loop(0, 32, body, (lo, hi))
+    # lo is the largest bit-value with count(>= lo) >= k == the k-th largest
+    keep = ux >= lo[..., None]
+    return jnp.where(keep, logits, -jnp.inf)
+
+
 def top_p_mask(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     """Nucleus sampling mask: keep the smallest set of tokens whose
     cumulative probability reaches ``p`` (always keeps the argmax)."""

@@ -375,3 +375,33 @@ def test_bench_supervisor_ladder_and_stall_handling(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[-1].startswith('{"metric": "stablelm-3b gptq.int4"')
     assert modes == [None, None, "int4-3b"], modes
+
+
+def test_top_k_mask_bisect_matches_lax():
+    """Bit-space bisection top-k mask must equal the sort-based mask exactly,
+    including ties and batch dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.ops import sampling
+
+    rng = np.random.RandomState(0)
+    for k in (1, 5, 200):
+        for shape in ((64,), (3, 128), (1, 50432)):
+            if k > shape[-1]:
+                continue
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 4)
+            a = sampling.top_k_mask(x, k)
+            b = sampling.top_k_mask_bisect(x, k)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ties at the k-th value: both must keep all tied entries
+    x = jnp.asarray(np.array([1.0, 3.0, 3.0, 3.0, -2.0, 0.5], np.float32))
+    a = sampling.top_k_mask(x, 2)
+    b = sampling.top_k_mask_bisect(x, 2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # negatives-only and -inf entries
+    x = jnp.asarray(np.array([-5.0, -1.0, -jnp.inf, -0.25], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(sampling.top_k_mask(x, 2)),
+        np.asarray(sampling.top_k_mask_bisect(x, 2)),
+    )
