@@ -174,40 +174,46 @@ def watchdog(budget_s: float) -> None:
     os._exit(0)  # rc 0: the JSON line above is the result
 
 
-def bench_decode(config, params, cache_dtype, n_steps: int = 96) -> float:
-    from parrot_tpu.generate.engine import decode_steps
+def bench_decode(config, params, cache_dtype, n_steps: int = 128) -> float:
+    """Per-token async dispatch with ONE final barrier.
+
+    Measured on the relay (PERF.md round-2 A/B): per-token dispatches
+    pipeline (the host runs ahead; ~0.5 ms dispatch cost overlaps device
+    compute) at 185 tok/s, while any host sync drains the pipeline at
+    ~25 ms each — a scan-fused 16-token chunk with one sync per chunk
+    measures 24% SLOWER (141 tok/s). So: no intermediate syncs; the timed
+    loop is short (<2 s) compared to the watchdog horizon, and the stage
+    marker tells the watchdog where we died if we die.
+    """
+    from parrot_tpu.generate.engine import _decode_step
     from parrot_tpu.models import gpt
 
     cache = gpt.KVCache.init(config, 1, 512, dtype=cache_dtype)
-
-    # one dispatched program per `chunk` tokens (lax.scan inside; cache
-    # donated so the buffers are reused in place); the watchdog still sees
-    # progress at chunk granularity
-    chunk = 16
+    # engine._decode_step is the module-level jitted program shared with the
+    # chat/stream paths — same persistent-cache entry as production decode
     step = functools.partial(
-        decode_steps, config=config, n_steps=chunk, temperature=0.8, top_k=200
+        _decode_step, config=config, temperature=0.8, top_k=200
     )
 
     tok = jnp.asarray(1, jnp.int32)
     rng = jax.random.PRNGKey(0)
     pos = 0
     STATE["stage"] = "compile+warmup"
-    toks, cache, rng = step(params, tok, cache, jnp.asarray(pos, jnp.int32), rng)
-    tok = toks[-1]
-    pos += chunk
+    for _ in range(8):
+        rng, r = jax.random.split(rng)
+        tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
+        pos += 1
     int(tok)  # device->host fetch: the only reliable barrier on lazy backends
     STATE["stage"] = "timed"
     STATE["t0"] = STATE["t_last"] = time.perf_counter()
-    done = 0
-    while done < n_steps:
-        toks, cache, rng = step(params, tok, cache, jnp.asarray(pos, jnp.int32), rng)
-        tok = toks[-1]
-        pos += chunk
-        int(tok)
-        done += chunk
-        STATE["steps"] = done
-        STATE["t_last"] = time.perf_counter()
-    return done / (STATE["t_last"] - STATE["t0"])
+    for _ in range(n_steps):
+        rng, r = jax.random.split(rng)
+        tok, cache = step(params, tok, cache, jnp.asarray(pos, jnp.int32), r)
+        pos += 1
+    int(tok)
+    STATE["steps"] = n_steps
+    STATE["t_last"] = time.perf_counter()
+    return n_steps / (STATE["t_last"] - STATE["t0"])
 
 
 def main() -> None:

@@ -300,10 +300,17 @@ def decode_steps(
     """Take ``n_steps`` sampled decode steps in ONE dispatched program.
 
     A ``lax.scan`` over single-token steps: same numerics as calling
-    ``_decode_step`` ``n_steps`` times, but the host dispatches once per
-    chunk instead of once per token — on remote-runtime backends each
-    dispatch costs ~0.5 ms, which at 3B decode speeds is ~6% of the step.
-    The RNG chain also advances on device (no per-token host splits).
+    ``_decode_step`` ``n_steps`` times, but one host dispatch per chunk and
+    the RNG chain advances on device (no per-token host splits).
+
+    When to use it: when the host is dispatch-bound (slow host, many models
+    per host) or the caller needs tokens in chunks anyway. When NOT to: a
+    caller that syncs after every chunk on a remote-runtime backend — async
+    per-token dispatches pipeline (the host runs ahead of the device), while
+    each sync drains the pipeline at a full round-trip (~25 ms on the axon
+    relay); the round-2 A/B measured chunked-with-sync 24% slower than
+    pipelined per-token (PERF.md). ``ServingEngine.step_burst`` is the win
+    case: it replaces a *mandatory* per-token sync with one per burst.
 
     Returns ``(toks [n_steps], cache, rng)``; ``toks[-1]`` is the next input
     token. The reference has no analogue (its Python loop is per-token,
