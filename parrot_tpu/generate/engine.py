@@ -343,6 +343,7 @@ def generate_stream(
     top_p: Optional[float] = None,
     stop_tokens: tuple[tuple[int, ...], ...] = (),
     cache_dtype: jnp.dtype = jnp.bfloat16,
+    burst: int = 1,
 ) -> Iterator[int]:
     """Yield generated token ids one at a time (streaming chat).
 
@@ -351,6 +352,15 @@ def generate_stream(
     until disambiguated, as in ``chat/base.py:62-85``). The prefill is
     prompt-bucketed and the decode step is shared across calls, so a second
     chat turn of any length pays zero compilation.
+
+    ``burst > 1`` generates that many tokens per device round-trip
+    (``decode_steps``) and yields them as they arrive host-side — on
+    remote-runtime backends the per-token host sync costs a full round-trip
+    (~25 ms on the relay; PERF.md round-2 A/B), so bursting multiplies
+    streaming throughput at the cost of ``burst``-token output granularity.
+    Greedy output is identical to ``burst=1``; sampled output differs only
+    in RNG schedule (device-chained vs host splits). Tokens generated past
+    a stop sequence inside a burst are dropped before yielding.
     """
     T = int(prompt.shape[0])
     R = max_returned_tokens
@@ -380,6 +390,31 @@ def generate_stream(
     # `buffer` always holds the withheld tail that might still complete a stop
     # sequence; everything else has been yielded (chat/base.py:62-85 pattern)
     buffer: list[int] = []
+    if burst > 1:
+        import numpy as np
+
+        needed = R - T  # tokens to produce, incl. any withheld stop tail
+        host_q = [int(tok)]  # first token from prefill (this sync IS TTFT)
+        dev_pos = T  # device decode position; runs ahead of emission
+        produced = 0
+        while produced < needed:
+            if not host_q:
+                toks_b, cache, rng = decode_steps(
+                    params, tok, cache, jnp.asarray(dev_pos, jnp.int32), rng,
+                    config=config, n_steps=burst, temperature=temperature,
+                    top_k=top_k, top_p=top_p,
+                )
+                tok = toks_b[-1]
+                dev_pos += burst
+                host_q = [int(t) for t in np.asarray(toks_b)]  # one sync/burst
+            buffer.append(host_q.pop(0))
+            produced += 1
+            if _tail_is_stop(buffer):
+                return  # tokens already decoded past the stop are dropped
+            while buffer and not _is_stop_prefix(buffer):
+                yield buffer.pop(0)
+        yield from buffer
+        return
     pos = T
     while pos < R:
         buffer.append(int(tok))

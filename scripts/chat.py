@@ -19,6 +19,7 @@ def main(
     max_new_tokens: int = 256,
     draft_dir: Optional[Path] = None,
     speculative_k: int = 4,
+    burst: int = 1,
 ) -> None:
     """Starts a conversation with a tuned model.
 
@@ -32,6 +33,9 @@ def main(
         draft_dir: Checkpoint dir of a small same-tokenizer draft model;
             enables speculative decoding of each reply.
         speculative_k: Draft tokens proposed per verification pass.
+        burst: Tokens generated per device round-trip (>1 multiplies
+            streaming throughput on remote-runtime backends at the cost
+            of burst-granular output; see engine.generate_stream).
     """
     import jax
     import jax.numpy as jnp
@@ -81,6 +85,7 @@ def main(
                 params, config, encoded, turn_rng,
                 max_returned_tokens=int(encoded.shape[0]) + max_new_tokens,
                 temperature=temperature, top_k=top_k, stop_tokens=stop_tokens,
+                burst=burst,
             )
         try:
             for tok in stream:

@@ -280,3 +280,30 @@ def test_decode_steps_chunks_chain():
     )
     got = [int(t) for t in toks_a] + [int(t) for t in toks_b]
     assert got == [int(t) for t in toks_full]
+
+
+def test_stream_burst_matches_single_greedy():
+    params = make_params()
+    prompt = jnp.array([1, 2, 3], jnp.int32)
+    kw = dict(max_returned_tokens=14, temperature=0.0, cache_dtype=jnp.float32)
+    single = list(engine.generate_stream(params, CFG, prompt, jax.random.PRNGKey(0), **kw))
+    for burst in (2, 4, 8):
+        bursty = list(engine.generate_stream(
+            params, CFG, prompt, jax.random.PRNGKey(0), burst=burst, **kw))
+        assert bursty == single, (burst, bursty, single)
+
+
+def test_stream_burst_stop_sequence_mid_burst():
+    """A stop sequence completed mid-burst must truncate exactly as the
+    per-token stream does, dropping tokens decoded past the stop."""
+    params = make_params()
+    prompt = jnp.array([1, 2, 3], jnp.int32)
+    kw = dict(max_returned_tokens=16, temperature=0.0, cache_dtype=jnp.float32)
+    full = list(engine.generate_stream(params, CFG, prompt, jax.random.PRNGKey(0), **kw))
+    assert len(full) >= 3
+    stop = (tuple(full[2:4]),)  # stops mid-stream, inside a burst of 8
+    want = list(engine.generate_stream(
+        params, CFG, prompt, jax.random.PRNGKey(0), stop_tokens=stop, **kw))
+    got = list(engine.generate_stream(
+        params, CFG, prompt, jax.random.PRNGKey(0), stop_tokens=stop, burst=8, **kw))
+    assert got == want == full[:2], (got, want)
