@@ -308,6 +308,26 @@ def _int4_w8a8_kernel(
 # opt-in switch for the W8A8 decode path (activation int8 changes numerics)
 W8A8 = False
 
+INT4_VARIANTS = ("2dot-f32", "2dot", "grouped", "w8a8")
+
+
+def set_int4_variant(name: str) -> None:
+    """Select the int4 decode kernel for subsequent traces.
+
+    Round-2 TPU sweep (3B in-model decode): '2dot-f32' 184.9 tok/s
+    (default, exact weight numerics), 'grouped' 174.5, '2dot' 159.5,
+    'w8a8' 198.9 (activations quantized to int8 — ~0.6% rel err, opt-in).
+    Must be called before the first forward pass traces (the globals are
+    read at trace time); exposed as ``--int4_kernel`` on the generate /
+    chat / serving-bench CLIs.
+    """
+    global INT4_VARIANT, DOT_F32, W8A8
+    if name not in INT4_VARIANTS:
+        raise ValueError(f"int4 kernel {name!r} not in {INT4_VARIANTS}")
+    INT4_VARIANT = "grouped" if name == "grouped" else "2dot"
+    DOT_F32 = name == "2dot-f32"
+    W8A8 = name == "w8a8"
+
 
 def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
     Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]

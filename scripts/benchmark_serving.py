@@ -30,6 +30,7 @@ def main(
     n_requests: int = 16,
     arrival_interval_ms: float = 50.0,
     burst: int = 1,
+    int4_kernel: Optional[str] = None,
 ) -> None:
     """Benchmarks the serving path.
 
@@ -54,6 +55,9 @@ def main(
             admission/retirement checks (ServingEngine.step_burst);
             1 = per-token admission (lowest queueing delay), 8-16 =
             fewer dispatches + host syncs (highest throughput).
+        int4_kernel: int4 decode kernel: 2dot-f32 (default), grouped,
+            2dot, or w8a8 (fastest; activation-int8 numerics).
+            See ops/pallas_quant.set_int4_variant.
     """
     import jax
     import jax.numpy as jnp
@@ -61,6 +65,11 @@ def main(
 
     from parrot_tpu.models import gpt
     from parrot_tpu.ops.sampling import sample
+
+    if int4_kernel is not None:
+        from parrot_tpu.ops import pallas_quant
+
+        pallas_quant.set_int4_variant(int4_kernel)
 
     if checkpoint_dir is not None:
         from parrot_tpu.generate.loader import load_model

@@ -20,6 +20,7 @@ def main(
     draft_dir: Optional[Path] = None,
     speculative_k: int = 4,
     burst: int = 1,
+    int4_kernel: Optional[str] = None,
 ) -> None:
     """Starts a conversation with a tuned model.
 
@@ -36,6 +37,9 @@ def main(
         burst: Tokens generated per device round-trip (>1 multiplies
             streaming throughput on remote-runtime backends at the cost
             of burst-granular output; see engine.generate_stream).
+        int4_kernel: int4 decode kernel: 2dot-f32 (default), grouped,
+            2dot, or w8a8 (fastest; activation-int8 numerics).
+            See ops/pallas_quant.set_int4_variant.
     """
     import jax
     import jax.numpy as jnp
@@ -43,6 +47,11 @@ def main(
     from parrot_tpu.generate import engine
     from parrot_tpu.generate.loader import load_model
     from parrot_tpu.generate.prompts import prompt_config
+
+    if int4_kernel is not None:
+        from parrot_tpu.ops import pallas_quant
+
+        pallas_quant.set_int4_variant(int4_kernel)
 
     config, params, tokenizer = load_model(checkpoint_dir, quantize, precision)
     system_prompt, stop_tokens = prompt_config(checkpoint_dir, tokenizer)

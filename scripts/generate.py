@@ -26,6 +26,7 @@ def main(
     speculative_k: int = 4,
     seed: int = 1234,
     profile: Optional[Path] = None,
+    int4_kernel: Optional[str] = None,
 ) -> None:
     """Generates text samples based on a pre-trained model and tokenizer.
 
@@ -38,6 +39,9 @@ def main(
         checkpoint_dir: The checkpoint directory to load.
         quantize: Quantization mode: bnb.nf4, bnb.nf4-dq, bnb.fp4, bnb.fp4-dq,
             bnb.int8 (RTN at load time) or gptq.int4 (pre-calibrated file).
+        int4_kernel: int4 decode kernel: 2dot-f32 (default), grouped,
+            2dot, or w8a8 (fastest; activation-int8 numerics).
+            See ops/pallas_quant.set_int4_variant.
         precision: bf16-true or 32-true.
         kv_cache: KV cache dtype: bf16 or int8.
         mesh: Shard the model over local devices, e.g. "1,1,4" for
@@ -55,6 +59,11 @@ def main(
 
     from parrot_tpu.generate import engine
     from parrot_tpu.generate.loader import device_memory_report, load_model
+
+    if int4_kernel is not None:
+        from parrot_tpu.ops import pallas_quant
+
+        pallas_quant.set_int4_variant(int4_kernel)
 
     config, params, tokenizer = load_model(checkpoint_dir, quantize, precision)
     if mesh is not None:

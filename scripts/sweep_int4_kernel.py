@@ -43,9 +43,7 @@ from parrot_tpu.quantize import api
 
 def set_variant(name: str) -> str:
     """Returns the quantized-matmul mode string for init; sets kernel flags."""
-    pallas_quant.INT4_VARIANT = "grouped" if name == "grouped" else "2dot"
-    pallas_quant.DOT_F32 = name == "2dot-f32"
-    pallas_quant.W8A8 = name == "w8a8"
+    pallas_quant.set_int4_variant(name)
     return "gptq.int4"
 
 
