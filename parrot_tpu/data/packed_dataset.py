@@ -211,7 +211,12 @@ def iter_mixture(datasets: Sequence[Iterable], seed: int,
     rng = random.Random(seed)
     while True:
         (chosen,) = rng.choices(iters, weights=weights, k=1)
-        yield next(chosen)
+        try:
+            yield next(chosen)
+        except StopIteration:
+            # a finite (wrap=False) source ran dry: end the mixture cleanly
+            # instead of letting PEP 479 turn this into a RuntimeError
+            return
 
 
 def batch_iterator(

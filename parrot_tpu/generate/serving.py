@@ -183,6 +183,18 @@ class ServingEngine:
         prompt = np.asarray(prompt, np.int32)
         if len(prompt) > self.S:
             raise ValueError(f"prompt length {len(prompt)} exceeds cache size {self.S}")
+        if len(prompt) + max_new_tokens > self.S:
+            # the KV window will roll: positions >= S wrap and the sequence
+            # attends only its last S tokens — legal, but quality degrades
+            import warnings
+
+            warnings.warn(
+                f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds the cache size ({self.S}); the KV window will roll "
+                "and the request only attends its most recent "
+                f"{self.S} tokens",
+                stacklevel=2,
+            )
         req = Request(self._next_id, prompt, max_new_tokens, t_submit=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)

@@ -293,11 +293,14 @@ def pretrain(
 
     profiler.close()
     if preempted["flag"]:
-        save_train_state(
-            out_dir / f"iter-{it:06d}-ckpt.safetensors", params, opt_state, it, config
-        )
-        print(f"preemption checkpoint saved at iter {it}; resume with --resume true",
-              file=sys.stderr)
+        # it < iter_start means the loop body never ran (e.g. resume at
+        # max_iters, or a signal during setup) — nothing new to checkpoint
+        if it >= iter_start:
+            save_train_state(
+                out_dir / f"iter-{it:06d}-ckpt.safetensors", params, opt_state, it, config
+            )
+            print(f"preemption checkpoint saved at iter {it}; resume with --resume true",
+                  file=sys.stderr)
         logger.finalize()
         return {"final_loss": final_loss, "params": params, "config": config,
                 "preempted_at": it}
