@@ -322,8 +322,11 @@ def attn_forward(
     elif context_parallel is not None:
         from parrot_tpu.parallel.ring_attention import ring_attention
 
-        cp_mesh, cp_axis = context_parallel
-        y = ring_attention(cp_mesh, q, k, v, scale=scale, axis_name=cp_axis)
+        # (mesh, axis) or (mesh, axis, batch_axes) — the training drivers
+        # name the batch axes so GSPMD keeps the dp sharding across the ring
+        cp_mesh, cp_axis, *cp_rest = context_parallel
+        y = ring_attention(cp_mesh, q, k, v, scale=scale, axis_name=cp_axis,
+                           batch_axes=cp_rest[0] if cp_rest else None)
     else:
         y = attention(q, k, v, scale=scale, causal=True, q_offset=q_offset, window=window)
 

@@ -15,6 +15,10 @@ Axis convention:
               (absent in the reference; first-class here per BASELINE.json)
 - ``pipe``    GPipe pipeline stages over the stacked-layer axis
               (``parallel/pipeline.py``; neighbor ``ppermute`` traffic only)
+- ``context`` sequence/context parallelism: the token axis of long-context
+              training batches is sharded here and attention runs as a ring
+              (``parallel/ring_attention.py``; neighbor ``ppermute`` only,
+              so it also wants ICI adjacency)
 
 Multi-host: the same mesh spans hosts via ``jax.distributed.initialize``; put
 ``tensor`` innermost so its collectives ride ICI, ``pipe`` next (stage
@@ -30,7 +34,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "pipe", "tensor")
+AXES = ("data", "fsdp", "pipe", "context", "tensor")
 
 
 def make_mesh(
@@ -39,24 +43,27 @@ def make_mesh(
     tensor: int = 1,
     *,
     pipe: int = 1,
+    context: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    n = data * fsdp * pipe * tensor
+    n = data * fsdp * pipe * context * tensor
     if n != len(devices):
         raise ValueError(
-            f"mesh {data}x{fsdp}x{pipe}x{tensor}={n} does not match {len(devices)} devices"
+            f"mesh {data}x{fsdp}x{pipe}x{context}x{tensor}={n} does not match "
+            f"{len(devices)} devices"
         )
-    grid = np.asarray(devices).reshape(data, fsdp, pipe, tensor)
+    grid = np.asarray(devices).reshape(data, fsdp, pipe, context, tensor)
     return Mesh(grid, AXES)
 
 
 def parse_mesh(spec: str) -> tuple[int, ...]:
-    """Parse a CLI mesh spec ``"data,fsdp,tensor[,pipe]"`` into a shape tuple."""
+    """Parse a CLI mesh spec ``"data,fsdp,tensor[,pipe[,context]]"`` into a
+    shape tuple."""
     parts = tuple(int(v) for v in spec.split(","))
-    if len(parts) not in (3, 4):
+    if len(parts) not in (3, 4, 5):
         raise ValueError(
-            f"mesh spec {spec!r} must be 'data,fsdp,tensor' or 'data,fsdp,tensor,pipe'"
+            f"mesh spec {spec!r} must be 'data,fsdp,tensor[,pipe[,context]]'"
         )
     return parts
 

@@ -54,6 +54,7 @@ def ring_attention_inner(
     *,
     axis_name: str,
     scale: float,
+    batch_axes: tuple = (),
 ) -> jnp.ndarray:
     """shard_map-inner causal ring attention. Chunks are contiguous in
     sequence order along ``axis_name``."""
@@ -69,12 +70,14 @@ def ring_attention_inner(
     m0 = jnp.full((B, N, Tl), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, N, Tl), jnp.float32)
     acc0 = jnp.zeros(q.shape, jnp.float32)
-    # the loop outputs depend on axis_index (device-varying); mark the
-    # device-invariant initial stats accordingly for the vma type system
+    # the loop outputs depend on axis_index and the (sharded) q/k/v inputs;
+    # mark the device-invariant initial stats varying over every mesh axis
+    # the body's outputs vary over, or the fori_loop carry types won't match
+    varying = (axis_name, *batch_axes)
     if hasattr(lax, "pcast"):
-        m0, l0, acc0 = (lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, acc0))
+        m0, l0, acc0 = (lax.pcast(x, varying, to="varying") for x in (m0, l0, acc0))
     elif hasattr(lax, "pvary"):
-        m0, l0, acc0 = (lax.pvary(x, (axis_name,)) for x in (m0, l0, acc0))
+        m0, l0, acc0 = (lax.pvary(x, varying) for x in (m0, l0, acc0))
 
     def step(i, carry):
         k_blk, v_blk, m, l, acc = carry
@@ -119,16 +122,24 @@ def ring_attention(
     *,
     scale: float,
     axis_name: str = "fsdp",
+    batch_axes=None,
 ) -> jnp.ndarray:
     """Causal attention with T sharded over ``axis_name``; runs the ring under
-    ``shard_map``. The caller applies RoPE (positions are global) first."""
+    ``shard_map``. The caller applies RoPE (positions are global) first.
+
+    ``batch_axes``: mesh axes the batch dimension is already sharded over
+    (e.g. ``("data", "fsdp")`` in the training drivers) — naming them here
+    keeps GSPMD from all-gathering the batch at the shard_map boundary."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    spec = P(None, axis_name, None, None)
-    inner = functools.partial(ring_attention_inner, axis_name=axis_name, scale=scale)
+    spec = P(batch_axes, axis_name, None, None)
+    inner = functools.partial(
+        ring_attention_inner, axis_name=axis_name, scale=scale,
+        batch_axes=tuple(batch_axes) if batch_axes else (),
+    )
     return shard_map(
         inner, mesh=mesh,
         in_specs=(spec, spec, spec),

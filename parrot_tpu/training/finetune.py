@@ -114,27 +114,38 @@ def finetune(
     longest, longest_ix = sft.longest_seq_info(train_data)
     seq_length = min(max_seq_length or longest, config.block_size, longest)
 
-    # mesh_shape: (data, fsdp, tensor) or (data, fsdp, tensor, pipe)
+    # mesh_shape: (data, fsdp, tensor[, pipe[, context]])
     ms = tuple(mesh_shape)
     pipe = ms[3] if len(ms) > 3 else 1
+    context = ms[4] if len(ms) > 4 else 1
     mesh = (
-        mesh_lib.make_mesh(ms[0], ms[1], ms[2], pipe=pipe)
+        mesh_lib.make_mesh(ms[0], ms[1], ms[2], pipe=pipe, context=context)
         if int(np.prod(ms)) > 1
         else None
     )
     pp = (mesh, pipeline_microbatches) if (mesh is not None and pipe > 1) else None
+    # context parallelism: the token axis shards over 'context' and attention
+    # runs as a ring (VERDICT r2 #6 — long-context training from the CLI)
+    cp = (mesh, "context", ("data", "fsdp")) if (mesh is not None and context > 1) else None
     if mesh is not None:
         params = sharding.shard_params(mesh, params)
+    if context > 1:
+        # the ring shards the token axis: sequence length must divide evenly
+        seq_length = min(
+            config.block_size, ((seq_length + context - 1) // context) * context
+        )
 
     optimizer = optim.adamw(
         optim.warmup_constant(learning_rate, warmup_steps), weight_decay=weight_decay
     )
-    opt_state = optimizer.init(params)
-    step_fn = jax.jit(train.make_train_step(
+    train_step = train.make_train_step(
         config, optimizer, accumulate_steps=gradient_accumulation,
-        remat=True, trainable_mask=mask, pipeline=pp,
-    ), donate_argnums=(0, 1))
-    eval_fn = jax.jit(train.make_eval_step(config, pipeline=pp))
+        remat=True, trainable_mask=mask, pipeline=pp, context_parallel=cp,
+    )
+    # PEFT: the masked optimizer allocates moments only for trainable leaves
+    opt_state = train_step.optimizer.init(params)
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+    eval_fn = jax.jit(train.make_eval_step(config, pipeline=pp, context_parallel=cp))
 
     logger = StepCSVLogger(out_dir, name="logs")
     monitor = SpeedMonitor(get_flops_available(), logger.log_dict, window_size=50)

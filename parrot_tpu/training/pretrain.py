@@ -160,15 +160,17 @@ def pretrain(
     config = Config.from_name(model_name)
     dtype = PRECISION_DTYPES[precision]
 
-    # mesh_shape: (data, fsdp, tensor) or (data, fsdp, tensor, pipe)
+    # mesh_shape: (data, fsdp, tensor[, pipe[, context]])
     ms = tuple(mesh_shape)
     pipe = ms[3] if len(ms) > 3 else 1
+    context = ms[4] if len(ms) > 4 else 1
     mesh = (
-        mesh_lib.make_mesh(ms[0], ms[1], ms[2], pipe=pipe)
+        mesh_lib.make_mesh(ms[0], ms[1], ms[2], pipe=pipe, context=context)
         if int(np.prod(ms)) > 1
         else None
     )
     pp = (mesh, pipeline_microbatches) if (mesh is not None and pipe > 1) else None
+    cp = (mesh, "context", ("data", "fsdp")) if (mesh is not None and context > 1) else None
     num_processes = jax.process_count() if mesh is not None else 1
     process_rank = jax.process_index() if mesh is not None else 0
 
@@ -201,9 +203,10 @@ def pretrain(
     step_fn = jax.jit(train.make_train_step(
         config, optimizer, accumulate_steps=gradient_accumulation, remat=True,
         shift=False,  # the data pipeline pre-shifts targets below
-        pipeline=pp,
+        pipeline=pp, context_parallel=cp,
     ), donate_argnums=(0, 1))
-    eval_fn = jax.jit(train.make_eval_step(config, shift=False, pipeline=pp))
+    eval_fn = jax.jit(train.make_eval_step(config, shift=False, pipeline=pp,
+                                           context_parallel=cp))
 
     logger = StepCSVLogger(out_dir, name="logs")
     monitor = SpeedMonitor(get_flops_available(), logger.log_dict, window_size=50)

@@ -41,18 +41,23 @@ def loss_fn(
     shift: bool = True,
     lm_head_chunk_size: int = 0,
     pipeline: Optional[tuple] = None,
+    context_parallel: Optional[tuple] = None,
 ) -> jnp.ndarray:
     if pipeline is not None:
         # GPipe forward over the 'pipe' mesh axis (parallel/pipeline.py);
         # same numerics as gpt.forward, so every loss variant below applies
         from parrot_tpu.parallel.pipeline import pipeline_forward
 
+        if context_parallel is not None:
+            raise NotImplementedError(
+                "pipeline and context parallelism cannot be combined yet"
+            )
         mesh, n_micro = pipeline
         forward = functools.partial(
             pipeline_forward, mesh=mesh, n_micro=n_micro
         )
     else:
-        forward = gpt.forward
+        forward = functools.partial(gpt.forward, context_parallel=context_parallel)
 
     if lm_head_chunk_size > 0:
         # chunk the lm_head matmul itself: the [B, T, V] logits never
@@ -109,6 +114,7 @@ def make_train_step(
     shift: bool = True,
     lm_head_chunk_size: int = 0,
     pipeline: Optional[tuple] = None,
+    context_parallel: Optional[tuple] = None,
 ):
     """Build a jittable ``(params, opt_state, batch) -> (params, opt_state,
     loss)`` step.
@@ -118,13 +124,21 @@ def make_train_step(
 
     ``trainable_mask``: pytree of bools matching params; False leaves get zero
     gradients (PEFT: the functional form of ``mark_only_lora_as_trainable``,
-    ``lit_gpt/lora.py:412-442``).
+    ``lit_gpt/lora.py:412-442``). The optimizer is wrapped in ``optax.masked``
+    so frozen leaves are untouched — without this, AdamW's decoupled weight
+    decay would shrink the frozen base weights every step even with zero
+    gradients — and no moment buffers are allocated for them (the reference
+    achieves both by passing only trainable params to AdamW,
+    ``finetune/lora.py:104-107``).
     """
+    if trainable_mask is not None:
+        optimizer = optax.masked(optimizer, trainable_mask)
 
     grad_fn = jax.value_and_grad(
         functools.partial(
             loss_fn, config=config, remat=remat, shift=shift,
             lm_head_chunk_size=lm_head_chunk_size, pipeline=pipeline,
+            context_parallel=context_parallel,
         )
     )
 
@@ -158,6 +172,9 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # callers must init opt_state from THIS optimizer (it differs from the
+    # one passed in when trainable_mask wrapped it in optax.masked)
+    train_step.optimizer = optimizer
     return train_step
 
 
@@ -167,11 +184,13 @@ def make_eval_step(
     remat: bool = False,
     shift: bool = True,
     pipeline: Optional[tuple] = None,
+    context_parallel: Optional[tuple] = None,
 ):
     def eval_step(params, batch):
         return loss_fn(
             params, config, batch["input_ids"], batch["labels"],
             remat=remat, shift=shift, pipeline=pipeline,
+            context_parallel=context_parallel,
         )
 
     return eval_step

@@ -39,7 +39,7 @@ def main(
         adapter_prompt_length: Learnable prompt prefix length.
         adapter_start_layer: First layer that receives the adapter.
         max_seq_length: Truncate samples to this length.
-        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        mesh: Device mesh "data,fsdp,tensor[,pipe[,context]]".
         pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
     from parrot_tpu.parallel.mesh import parse_mesh

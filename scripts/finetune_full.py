@@ -35,7 +35,7 @@ def main(
         micro_batch_size: Per-step batch size.
         max_iters: Number of optimizer iterations.
         max_seq_length: Truncate samples to this length.
-        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        mesh: Device mesh "data,fsdp,tensor[,pipe[,context]]".
         pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
     from parrot_tpu.parallel.mesh import parse_mesh

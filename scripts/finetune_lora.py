@@ -53,7 +53,7 @@ def main(
         lora_mlp: Apply LoRA to the MLP linears.
         lora_head: Apply LoRA to the LM head.
         max_seq_length: Truncate samples to this length.
-        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        mesh: Device mesh "data,fsdp,tensor[,pipe[,context]]".
         pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
     from parrot_tpu.parallel.mesh import parse_mesh

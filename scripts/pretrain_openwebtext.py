@@ -38,7 +38,7 @@ def main(
         max_iters: Total optimizer iterations.
         warmup_iters: Linear warmup iterations.
         resume: Resume from the latest checkpoint in out_dir.
-        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe".
+        mesh: Device mesh "data,fsdp,tensor[,pipe[,context]]".
         pipeline_microbatches: Microbatches per pipeline step (pipe > 1).
     """
     from parrot_tpu.parallel.mesh import parse_mesh

@@ -41,7 +41,7 @@ def main(
         max_iters: Total optimizer iterations.
         warmup_iters: Linear warmup iterations.
         resume: Resume from the latest checkpoint in out_dir.
-        mesh: Device mesh "data,fsdp,tensor" or "data,fsdp,tensor,pipe",
+        mesh: Device mesh "data,fsdp,tensor[,pipe[,context]]",
             e.g. "1,8,1" for ZeRO-3 over 8 chips or "1,2,1,4" for 4 GPipe
             stages x fsdp=2.
         pipeline_microbatches: Microbatches per pipeline step (pipe > 1).

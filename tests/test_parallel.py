@@ -37,10 +37,12 @@ CFG = Config(
 
 def test_make_mesh_shapes():
     m = mesh_lib.make_mesh(2, 2, 2)
-    assert m.axis_names == ("data", "fsdp", "pipe", "tensor")
-    assert m.shape["pipe"] == 1
+    assert m.axis_names == ("data", "fsdp", "pipe", "context", "tensor")
+    assert m.shape["pipe"] == 1 and m.shape["context"] == 1
     m = mesh_lib.make_mesh(1, 2, 1, pipe=4)
     assert m.shape["pipe"] == 4
+    m = mesh_lib.make_mesh(1, 2, 1, context=4)
+    assert m.shape["context"] == 4
     with pytest.raises(ValueError):
         mesh_lib.make_mesh(3, 1, 1)
 

@@ -65,3 +65,71 @@ def test_ring_on_4_device_subaxis():
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected), rtol=2e-5, atol=2e-5
     )
+
+
+def test_train_step_with_context_parallel_matches_plain():
+    """VERDICT r2 #6: a full training step through the cp path — ring
+    attention under jax.grad on the 'context' mesh axis — must reproduce the
+    plain step's loss and updated parameters."""
+    import optax
+
+    from parrot_tpu.config import Config
+    from parrot_tpu.models import gpt
+    from parrot_tpu.training import train
+
+    config = Config(
+        name="cp-train-tiny", block_size=64, vocab_size=64, padded_vocab_size=64,
+        n_layer=2, n_head=4, n_query_groups=2, n_embd=32,
+    )
+    params = gpt.init_params(config, jax.random.PRNGKey(0))
+    opt = optax.sgd(1e-2)
+    batch = {
+        "input_ids": jnp.asarray(
+            np.random.RandomState(0).randint(0, 64, (2, 64)), jnp.int32),
+        "labels": jnp.asarray(
+            np.random.RandomState(1).randint(0, 64, (2, 64)), jnp.int32),
+    }
+
+    plain = train.make_train_step(config, opt)
+    p_ref, _, loss_ref = plain(params, opt.init(params), batch)
+
+    mesh = mesh_lib.make_mesh(1, 1, 1, context=8)
+    cp = (mesh, "context", ("data", "fsdp"))
+    cp_step = jax.jit(train.make_train_step(config, opt, context_parallel=cp))
+    p_cp, _, loss_cp = cp_step(params, opt.init(params), batch)
+
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-5)
+    for ref, got in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_cp)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_finetune_driver_context_parallel_end_to_end(tmp_path):
+    """The CLI-facing driver trains through mesh 'data,fsdp,tensor,pipe,context'."""
+    from parrot_tpu.data import sft
+    from parrot_tpu.training.finetune import finetune
+    from parrot_tpu.utils.tokenizer import Tokenizer
+
+    from helpers import make_checkpoint
+
+    checkpoint_dir, _ = make_checkpoint(tmp_path)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    tok = Tokenizer(checkpoint_dir)
+    examples = [
+        {"instruction": f"say {w}", "input": "", "output": w}
+        for w in ("hi", "yo", "hey", "sup")
+    ]
+    ds = sft.prepare_dataset(examples, tok, max_length=128)
+    sft.save_dataset(ds, data_dir / "train.npz")
+    sft.save_dataset(ds, data_dir / "test.npz")
+
+    result = finetune(
+        "lora", data_dir, checkpoint_dir, tmp_path / "out",
+        precision="32-true", batch_size=2, micro_batch_size=2, max_iters=2,
+        eval_interval=1000, save_interval=1000, log_interval=1,
+        learning_rate=1e-3, warmup_steps=0, lora_dropout=0.0,
+        mesh_shape=(1, 1, 1, 1, 8),
+    )
+    assert np.isfinite(result["final_loss"])
