@@ -225,7 +225,10 @@ void* ppd_open(const char** paths, int n_files, long block_size, int n_chunks,
   auto* r = new Reader();
   for (int i = 0; i < n_files; ++i) r->files.emplace_back(paths[i]);
   r->block_size = block_size;
-  r->n_chunks = n_chunks;
+  // group size never exceeds the corpus (parity with the Python reader's
+  // n_chunks = min(n_chunks, len(files)) clamp); without this, load_group
+  // indexes past files[] after a wrap reset
+  r->n_chunks = n_chunks > n_files ? n_files : n_chunks;
   r->batch_size = batch_size;
   r->shuffle = shuffle != 0;
   r->wrap = wrap != 0;

@@ -61,3 +61,16 @@ def test_native_reader_wrap(tmp_path, built):
     taken = [next(reader) for _ in range(20)]  # several epochs
     assert len(taken) == 20
     reader.close()
+
+
+def test_native_reader_n_chunks_exceeding_corpus(tmp_path, built):
+    """n_chunks > number of chunk files must clamp (parity with the Python
+    reader's min() — this used to read past the file list and crash)."""
+    files = corpus(tmp_path)
+    reader = native_reader.NativePackedReader(
+        files, block_size=16, batch_size=2, n_chunks=10, shuffle=True,
+        wrap=True, seed=3,
+    )
+    taken = [next(reader) for _ in range(12)]
+    assert all(b.shape == (2, 16) for b in taken)
+    reader.close()
