@@ -110,7 +110,7 @@ def test_trainable_mask_and_filtered_checkpoint(tmp_path):
     # one masked train step leaves base weights untouched
     optimizer = optim.adamw(1e-2, weight_decay=0.0)  # constant lr: step 0 must move
     step = train.make_train_step(CFG, optimizer, trainable_mask=mask, remat=False)
-    opt_state = optimizer.init(with_lora)
+    opt_state = step.optimizer.init(with_lora)
     batch = {"input_ids": TOKENS, "labels": TOKENS}
     new_params, _, loss = jax.jit(step)(with_lora, opt_state, batch)
     assert np.isfinite(float(loss))

@@ -58,3 +58,45 @@ def test_prefill_flag_matches_masked_path():
     lb, cb = gpt.forward_cached(params, CFG, tokens, cache_b, jnp.asarray(0), prefill=True)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ca.k), np.asarray(cb.k), rtol=1e-5, atol=1e-6)
+
+
+def test_frozen_params_not_touched_by_optimizer():
+    """PEFT: weight decay must not leak into frozen base weights — with a
+    trainable_mask, non-trainable leaves must come out of a train step
+    bit-identical (the reference passes only trainable params to AdamW)."""
+    from parrot_tpu.models import lora as lora_lib
+    from parrot_tpu.training import optim
+
+    cfg = lora_lib.LoRAConfig(
+        **CFG.to_dict(), r=4, alpha=8, dropout=0.0,
+        to_query=True, to_value=True,
+    )
+    params = gpt.init_params(CFG, jax.random.PRNGKey(0))
+    params = lora_lib.add_lora_params(cfg, params, jax.random.PRNGKey(1))
+    mask = lora_lib.lora_trainable_mask(params)
+
+    opt = optim.adamw(optim.warmup_constant(1e-2, 0), weight_decay=0.1)
+    step = train.make_train_step(cfg, opt, trainable_mask=mask)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 64, (2, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 64, (2, 32)), jnp.int32),
+    }
+    # several steps so the warmup schedule is past lr=0 and weight decay bites
+    new_params, opt_state = params, step.optimizer.init(params)
+    loss = None
+    for _ in range(3):
+        new_params, opt_state, loss = step(new_params, opt_state, batch)
+    assert np.isfinite(float(loss))
+
+    changed_lora = unchanged_frozen = True
+    for (path, old), (_, new), (_, m) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(new_params),
+        jax.tree_util.tree_leaves_with_path(mask),
+    ):
+        if m:
+            changed_lora &= bool((np.asarray(old) != np.asarray(new)).any()) or old.size == 0
+        else:
+            unchanged_frozen &= bool((np.asarray(old) == np.asarray(new)).all())
+    assert unchanged_frozen, "frozen leaves were modified by the optimizer"
