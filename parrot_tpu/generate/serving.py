@@ -6,9 +6,12 @@ requests between single-token steps — the BASELINE.json north-star
 "continuous batching across hosts" serving core, single-host form:
 
 - **slots**: one batched KV cache ``[L, B, S, ...]``; slot ``b`` belongs to at
-  most one in-flight request. Admission prefillis the prompt directly into the
+  most one in-flight request. Admission prefills the prompt directly into the
   slot's cache rows (a row slice round-trips through the shared bucketed
   prefill program, so admission compiles O(log block_size) programs total).
+  Admission is **async**: prefill dispatches pipeline behind the running
+  decode and first tokens are read at the next step/burst barrier, so a
+  burst of k arrivals costs zero extra device->host round-trips.
 - **lock-step decode**: every step runs ONE ``forward_decode_batched``
   dispatch for all slots at their own positions (idle slots compute at
   position 0 and are ignored — the standard slot-batching tradeoff).
@@ -211,11 +214,12 @@ class ServingEngine:
         """Admit queued requests into free slots, then run one lock-step
         decode for all active slots. Returns requests that finished this
         step."""
-        self._admit()
+        pending = self._admit()
         active = [b for b, r in enumerate(self.occupant) if r is not None]
         if not active:
             return []
 
+        first_snapshot = self.cur if pending else None  # first tokens, pre-decode
         positions = jnp.asarray(
             np.where([r is not None for r in self.occupant], self.pos - 1, 0),
             jnp.int32,
@@ -230,8 +234,11 @@ class ServingEngine:
         now = time.perf_counter()
 
         finished = []
+        self._account_pending(pending, first_snapshot, now, finished)
         for b in active:
             req = self.occupant[b]
+            if req is None:  # retired on its admission first-token
+                continue
             tok = int(toks[b])
             req.produced.append(tok)
             self.pos[b] += 1
@@ -253,11 +260,12 @@ class ServingEngine:
         written past a retired request's end are invisible to the slot's next
         occupant (position masking; same argument as bucketed prefill).
         """
-        self._admit()
+        pending = self._admit()
         active = [b for b, r in enumerate(self.occupant) if r is not None]
         if not active:
             return []
 
+        first_snapshot = self.cur if pending else None  # first tokens, pre-decode
         positions = jnp.asarray(
             np.where([r is not None for r in self.occupant], self.pos - 1, 0),
             jnp.int32,
@@ -271,8 +279,11 @@ class ServingEngine:
         now = time.perf_counter()
 
         finished = []
+        self._account_pending(pending, first_snapshot, now, finished)
         for b in active:
             req = self.occupant[b]
+            if req is None:  # retired on its admission first-token
+                continue
             for i in range(n):
                 tok = int(toks[i, b])
                 req.produced.append(tok)
@@ -295,7 +306,16 @@ class ServingEngine:
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self) -> None:
+    def _admit(self) -> list[tuple["Request", int]]:
+        """Dispatch admission prefills into free slots WITHOUT host syncs.
+
+        Each admitted request's first token is pending in ``self.cur[slot]``;
+        the caller reads it at the step/burst-end barrier (``_account_pending``).
+        A queue of k arrivals therefore costs k pipelined dispatches instead
+        of k ~25 ms device->host round-trips (VERDICT r2 #9) — admission
+        prefill overlaps the decode burst on the device.
+        """
+        pending = []
         for b in range(self.slots):
             if not self.queue or self.occupant[b] is not None:
                 continue
@@ -309,13 +329,24 @@ class ServingEngine:
                 padded, jnp.asarray(T, jnp.int32), admit_rng,
                 config=self.config, **self.sampling,
             )
-            first = int(np.asarray(self.cur)[b])  # sync: TTFT is honest
-            now = time.perf_counter()
-            req.produced.append(first)
-            req.t_first_token = now
             self.occupant[b] = req
             self.pos[b] = T + 1
-            hit_eos = self.eos_id is not None and first == self.eos_id
+            pending.append((req, b))
+        return pending
+
+    def _account_pending(
+        self, pending, first_snapshot, now: float, finished: list
+    ) -> None:
+        """Record admission first-tokens at the single post-dispatch barrier."""
+        if not pending:
+            return
+        first = np.asarray(first_snapshot)  # pipeline already drained: cheap
+        for req, b in pending:
+            tok = int(first[b])
+            req.produced.append(tok)
+            req.t_first_token = now
+            hit_eos = self.eos_id is not None and tok == self.eos_id
             if hit_eos or len(req.produced) >= req.max_new_tokens:
                 req.done, req.t_done = True, now
                 self.occupant[b] = None
+                finished.append(req)
