@@ -75,11 +75,14 @@ def supervise() -> None:
         child_s = time.monotonic() - t_child
         line = None
         stalled = False
+        extra_lines = []
         for out in (proc.stdout or "").splitlines():
             out = out.strip()
             if out.startswith("{"):
-                line = out
-                break
+                if line is None:
+                    line = out
+                else:
+                    extra_lines.append(out)  # secondary metrics (TTFT, ...)
         if line is not None:
             last_line = line
             try:
@@ -98,6 +101,8 @@ def supervise() -> None:
             )
             if not (metric == "bench_error" and transient) and not stalled:
                 print(line, flush=True)
+                for extra in extra_lines:
+                    print(extra, flush=True)
                 return
             transient_fails += 1
         remaining = budget - (time.monotonic() - t0)
@@ -160,11 +165,57 @@ def emit(value: float, unit: str = "tok/s") -> None:
         }), flush=True)
 
 
+def emit_extra(metric: str, value: float, unit: str) -> None:
+    """Secondary metric line (the primary line via emit() must come first)."""
+    print(json.dumps({
+        "metric": metric, "value": round(value, 2), "unit": unit,
+        "vs_baseline": 0,
+    }), flush=True)
+
+
+def bench_serving_ttft(config, params, cache_dtype) -> None:
+    """Continuous-batching TTFT p50 on the params already resident (the
+    BASELINE metric 'p50 TTFT'; measured 530 ms at burst=8 in round 2)."""
+    from parrot_tpu.generate.serving import ServingEngine
+
+    STATE["stage"] = "serving_ttft"
+    eng = ServingEngine(
+        params, config, slots=4, max_seq_length=512, cache_dtype=cache_dtype,
+        temperature=0.8, top_k=200,
+    )
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    reqs = []
+    n_reqs, burst = 12, 8
+    next_arrival = time.perf_counter()  # 20 ms Poisson-ish arrivals
+    while len(reqs) < n_reqs or eng.has_work():
+        now = time.perf_counter()
+        if len(reqs) < n_reqs and now >= next_arrival:
+            reqs.append(eng.submit(
+                rng.randint(1, config.vocab_size, 48).astype(np.int32),
+                max_new_tokens=32,
+            ))
+            next_arrival = now + 0.02
+            continue
+        if eng.has_work():
+            eng.step_burst(burst)
+        elif len(reqs) < n_reqs:
+            time.sleep(max(0.0, next_arrival - time.perf_counter()))
+    ttfts = sorted(r.ttft for r in reqs if r.ttft is not None)
+    if ttfts:
+        p50 = ttfts[len(ttfts) // 2] * 1000.0
+        emit_extra(
+            f"{STATE.get('model', 'model')} serving TTFT p50 "
+            f"(4 slots, burst {burst}, 12 reqs @20ms)", p50, "ms",
+        )
+
+
 def watchdog(budget_s: float) -> None:
     time.sleep(budget_s)
     with LOCK:
         if STATE["printed"]:
-            return
+            os._exit(0)  # primary metric is out; bound the secondary phase
     if STATE["steps"] > 0 and STATE["t0"] is not None:
         # partial but real measurement from the timed loop
         emit(STATE["steps"] / (STATE["t_last"] - STATE["t0"]))
@@ -232,6 +283,7 @@ def main() -> None:
 
     if mode == "bf16-3b":
         STATE["metric"] = f"stablelm-3b bf16 decode tok/s (1 chip, {kind})"
+        STATE["model"] = "stablelm-3b bf16"
         STATE["baseline"] = 25.0  # v4-8 steady state, tutorials/tpus.md:55
         config = Config.from_name("stablelm-base-alpha-3b")
         STATE["stage"] = "init_params"
@@ -243,6 +295,7 @@ def main() -> None:
         # (bf16 v4-8 steady state, tutorials/tpus.md:55) since it publishes
         # no 3B quantized figure
         STATE["metric"] = f"stablelm-3b gptq.int4 + int8-KV decode tok/s (1 chip, {kind})"
+        STATE["model"] = "stablelm-3b gptq.int4+int8KV"
         STATE["baseline"] = 25.0
         config = Config.from_name("stablelm-base-alpha-3b")
         STATE["stage"] = "init_params"
@@ -251,6 +304,7 @@ def main() -> None:
         tok_s = bench_decode(config, params, jnp.int8)
     else:
         STATE["metric"] = f"falcon-7b gptq.int4 + int8-KV decode tok/s (1 chip, {kind})"
+        STATE["model"] = "falcon-7b gptq.int4+int8KV"
         STATE["baseline"] = 6.48  # A100 40GB, tutorials/quantize.md:127-128
         config = Config.from_name("falcon-7b")
         STATE["stage"] = "init_params"
@@ -259,6 +313,12 @@ def main() -> None:
         tok_s = bench_decode(config, params, jnp.int8)
 
     emit(tok_s)
+    # secondary metric: continuous-batching TTFT p50 on the same weights
+    # (BASELINE 'p50 TTFT'); failures here must not cost the primary line
+    try:
+        bench_serving_ttft(config, params, jnp.int8 if mode != "bf16-3b" else jnp.bfloat16)
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        emit_extra("serving_ttft_error", 0.0, str(e)[:120])
 
 
 if __name__ == "__main__":

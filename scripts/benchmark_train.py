@@ -76,6 +76,16 @@ def main(
             np_rng.randint(0, config.padded_vocab_size, shape), jnp.int32),
     }
 
+    # static HBM footprint from XLA (the relay backend reports no runtime
+    # memory_stats): program arguments + scratch. Donation aliases outputs
+    # onto arguments, so args+temps IS the peak program footprint.
+    prog_mem = None
+    try:
+        ma = step_fn.lower(params, opt_state, batch).compile().memory_analysis()
+        prog_mem = (ma.argument_size_in_bytes + ma.temp_size_in_bytes) / 2**30
+    except Exception:
+        pass
+
     loss = None
     for _ in range(warmup):
         params, opt_state, loss = step_fn(params, opt_state, batch)
@@ -93,14 +103,15 @@ def main(
     ms_per_step = elapsed / steps * 1000.0
     tokens_per_batch = micro_batch * accumulate * seq
     tok_s = tokens_per_batch * steps / elapsed
-    flops_per_batch = (
-        estimate_flops(n_params, config, training=True) / config.block_size * seq
-        * micro_batch * accumulate
-    )
+    # estimate_flops at the ACTUAL sequence length (the attention term is
+    # quadratic in it; scaling the block_size figure linearly overcounts)
+    weight_flops = 2 * n_params * seq
+    attn_flops = config.n_layer * 2 * 2 * config.n_embd * seq**2
+    flops_per_batch = 3 * (weight_flops + attn_flops) * micro_batch * accumulate
     peak = get_flops_available(precision="bf16")
     mfu = (flops_per_batch * steps / elapsed / peak) if peak else None
 
-    mem = None
+    mem = prog_mem
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats and "peak_bytes_in_use" in stats:
