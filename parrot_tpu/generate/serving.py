@@ -165,6 +165,7 @@ class ServingEngine:
         top_p: Optional[float] = None,
         eos_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
+        sync_admission: bool = False,
     ):
         self.params = params
         self.config = config
@@ -179,6 +180,10 @@ class ServingEngine:
         self.eos_id = eos_id
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._next_id = 0
+        # A/B knob: True restores the round-2 behavior of one host sync per
+        # admission (TTFT read immediately); False (default) defers first
+        # tokens to the step/burst barrier so admissions pipeline.
+        self.sync_admission = sync_admission
 
     # -- public API ---------------------------------------------------------
 
@@ -331,7 +336,12 @@ class ServingEngine:
             )
             self.occupant[b] = req
             self.pos[b] = T + 1
-            pending.append((req, b))
+            if self.sync_admission:
+                finished: list = []
+                self._account_pending([(req, b)], self.cur, time.perf_counter(),
+                                      finished)
+            else:
+                pending.append((req, b))
         return pending
 
     def _account_pending(

@@ -30,6 +30,7 @@ def main(
     n_requests: int = 16,
     arrival_interval_ms: float = 50.0,
     burst: int = 1,
+    sync_admission: bool = False,
     int4_kernel: Optional[str] = None,
 ) -> None:
     """Benchmarks the serving path.
@@ -94,6 +95,7 @@ def main(
             max_new_tokens=max_new_tokens, slots=batch_size,
             n_requests=n_requests, arrival_interval_ms=arrival_interval_ms,
             quantize=quantize, kv_cache=kv_cache, seed=seed, burst=burst,
+            sync_admission=sync_admission,
         )
         return
 
@@ -165,6 +167,7 @@ def main(
 def _run_continuous(
     config, params, cache_dtype, *, prompt_length, max_new_tokens, slots,
     n_requests, arrival_interval_ms, quantize, kv_cache, seed, burst=1,
+    sync_admission=False,
 ):
     """Concurrent-arrival benchmark over the continuous-batching engine:
     requests arrive on a wall-clock schedule, are admitted into free decode
@@ -188,6 +191,7 @@ def _run_continuous(
         params, config, slots=slots, cache_dtype=cache_dtype,
         max_seq_length=min(config.block_size, prompt_length + max_new_tokens),
         temperature=0.8, top_k=200, rng=jax.random.PRNGKey(seed),
+        sync_admission=sync_admission,
     )
     # warmup: compile prefill buckets + decode program on a throwaway request
     warm = eng.submit(prompts[0][:prompt_length], max_new_tokens=2)
@@ -224,6 +228,7 @@ def _run_continuous(
         "n_requests": n_requests,
         "arrival_interval_ms": arrival_interval_ms,
         "burst": burst,
+        "sync_admission": sync_admission,
         "ttft_p50_ms": round(float(np.percentile(ttfts, 50)), 2),
         "ttft_p90_ms": round(float(np.percentile(ttfts, 90)), 2),
         "aggregate_tok_s": round(total_tokens / t_total, 2),
