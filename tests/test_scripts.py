@@ -405,3 +405,48 @@ def test_top_k_mask_bisect_matches_lax():
         np.asarray(sampling.top_k_mask(x, 2)),
         np.asarray(sampling.top_k_mask_bisect(x, 2)),
     )
+
+
+def test_pretrain_trainer_variant_and_autoresume(tmp_path, capsys):
+    """Trainer-style pretrain (≙ pretrain/openwebtext_trainer.py): callback
+    checkpoints land, and a second fit() auto-resumes from 'last'."""
+    sys.path.insert(0, str(SCRIPTS))
+    from parrot_tpu.data.packed_dataset import PackedDatasetBuilder
+
+    data_dir = tmp_path / "bins"
+    data_dir.mkdir()
+    builder = PackedDatasetBuilder(
+        outdir=str(data_dir), prefix="train", chunk_size=129 * 4,
+        sep_token=0, dtype="auto", vocab_size=256,
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        builder.add_array(rng.randint(1, 250, size=500).astype(np.uint16))
+    builder.write_reminder()
+
+    from parrot_tpu.config import name_to_config
+
+    name_to_config["trainer-tiny"] = dict(
+        name="trainer-tiny", block_size=128, vocab_size=256, padded_vocab_size=256,
+        n_layer=2, n_head=2, n_embd=32,
+    )
+    import pretrain_openwebtext_trainer as powt
+
+    powt.main(
+        model_name="trainer-tiny", train_data_dir=data_dir,
+        val_data_dir=data_dir, out_dir=tmp_path / "out", precision="32-true",
+        batch_size=2, max_iters=3, warmup_iters=1, save_interval=2,
+        eval_interval=2, eval_iters=2, log_interval=1, resume=False,
+    )
+    from parrot_tpu.training.pretrain import latest_checkpoint
+
+    first = latest_checkpoint(tmp_path / "out")
+    assert first is not None and "000003" in first.name
+    # auto-resume: continues from iter 3 and saves the final state at 5
+    powt.main(
+        model_name="trainer-tiny", train_data_dir=data_dir,
+        out_dir=tmp_path / "out", precision="32-true",
+        batch_size=2, max_iters=5, warmup_iters=1, save_interval=100,
+        eval_interval=100, log_interval=1, resume=True,
+    )
+    assert "000005" in latest_checkpoint(tmp_path / "out").name
