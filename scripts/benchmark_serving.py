@@ -14,6 +14,16 @@ from typing import Optional
 wd = Path(__file__).parent.parent.resolve()
 sys.path.insert(0, str(wd))
 
+import os
+
+import jax
+
+# persistent compile cache: mid-run prefill-bucket compiles otherwise
+# dominate TTFT tails on the relay (seconds per bucket)
+os.makedirs(wd / ".jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(wd / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main(
     checkpoint_dir: Optional[Path] = None,
@@ -193,10 +203,16 @@ def _run_continuous(
         temperature=0.8, top_k=200, rng=jax.random.PRNGKey(seed),
         sync_admission=sync_admission,
     )
-    # warmup: compile prefill buckets + decode program on a throwaway request
-    warm = eng.submit(prompts[0][:prompt_length], max_new_tokens=2)
-    eng.run_until_drained(burst=burst)
-    warm.produced.clear()
+    # warmup: compile EVERY prefill bucket the workload can hit plus the
+    # decode program — a cold bucket compile mid-run is seconds of fake TTFT
+    from parrot_tpu.generate.engine import prompt_bucket
+
+    buckets = sorted({
+        prompt_bucket(len(pr), eng.S) for pr in prompts
+    })
+    for tb in buckets:
+        w = eng.submit(np.ones(tb, np.int32), max_new_tokens=2)
+        eng.run_until_drained(burst=burst)
 
     t_start = _time.perf_counter()
     next_arrival = t_start
