@@ -29,6 +29,7 @@ import functools
 from typing import Iterator, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -49,12 +50,21 @@ def prompt_bucket(t: int, cap: int) -> int:
 
 
 def _pad_to(x: jnp.ndarray, n: int, axis: int = 0) -> jnp.ndarray:
+    """Right-pad to ``n`` along ``axis``.
+
+    Concrete (non-tracer) inputs pad on the HOST: an eager ``jnp.pad``
+    compiles one tiny program per distinct input length — ~0.5 s each on the
+    relay backend (measured; serving admissions were paying it per request,
+    dwarfing the 8 ms prefill itself). The jitted entry points then see only
+    bucketed shapes. Tracers (in-jit use) keep ``jnp.pad``."""
     pad = n - x.shape[axis]
     if pad <= 0:
         return x
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+    if isinstance(x, jax.core.Tracer):
+        return jnp.pad(x, widths)
+    return np.pad(np.asarray(x), widths)
 
 
 @functools.partial(

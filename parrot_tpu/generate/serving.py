@@ -327,7 +327,7 @@ class ServingEngine:
             req = self.queue.popleft()
             T = len(req.prompt)
             Tb = prompt_bucket(T, self.S)
-            padded = _pad_to(jnp.asarray(req.prompt, jnp.int32), Tb)
+            padded = _pad_to(req.prompt.astype(np.int32), Tb)
             self.rng, admit_rng = jax.random.split(self.rng)
             self.cache, self.cur = _admit_step(
                 self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
