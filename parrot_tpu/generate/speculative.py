@@ -5,8 +5,11 @@ Not in the reference (its decode is strictly one-token-at-a-time,
 single-stream decode is HBM-bound on the weight stream, so a (k+1)-token
 verification pass through the target costs nearly the same wall clock as a
 1-token step, and every accepted draft token is a decode step the target
-never has to take. A pythia-70m draft in front of a 7B target turns an
-acceptance rate of ~70-80%% into a ~2-3x decode speedup.
+never has to take. Measured on a v5e (PERF.md round 3): a k=4 round costs
+1.26x one plain decode step all-in (tiny draft + verify + overhead), so
+speedup = (1 + 4*acceptance)/1.26 — breakeven at ~6.5%% acceptance, 2x at
+~40%%, 3x at ~65%%; the accept/commit machinery is validated on-chip at
+acceptance 0.95 (draft==target control).
 
 The whole loop is one jitted program, like ``engine.generate``:
 
