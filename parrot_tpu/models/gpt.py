@@ -497,6 +497,45 @@ def forward(
     return apply_linear(params["lm_head"], x, **_lora_kw(config, dropout_rng, 99))
 
 
+def _split_qlin(blocks):
+    """Split the stacked blocks tree into ``(rest, qmap)``: quantized-linear
+    leaf-groups are pulled out (kept stacked, closed over by the scan body)
+    and replaced with None in the scanned tree. The Pallas kernels then DMA
+    each layer's slab straight from the stacked arrays via scalar-prefetch
+    index maps instead of XLA materializing a per-layer copy every decode
+    step — the copies were ~44% of the int4 decode step (PERF.md round 3)."""
+    from parrot_tpu.quantize import formats
+
+    qmap = {}
+
+    def walk(node, path):
+        if isinstance(node, formats.QuantizedLinear):
+            qmap[path] = node
+            return None
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return walk(blocks, ()), qmap
+
+
+def _merge_qlin(rest, qmap, layer_id):
+    """Rebuild a per-layer param tree: scan-sliced small leaves plus
+    stacked-quantized markers carrying the traced layer index."""
+    if not qmap:
+        return rest
+    from parrot_tpu.quantize import formats
+
+    def walk(node, path):
+        if path in qmap:
+            return formats.StackedQuantizedLinear(qmap[path], layer_id)
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return walk(rest, ())
+
+
 def forward_cached(
     params: Params,
     config: Config,
@@ -533,9 +572,11 @@ def forward_cached(
     slot = jnp.where(input_pos >= S, input_pos % S, input_pos)
 
     layer_ids = jnp.arange(config.n_layer)
+    rest, qmap = _split_qlin(params["blocks"])
     if cache.quantized:
         def step(x, layer):
-            p_layer, layer_id, k_l, v_l, ks_l, vs_l = layer
+            rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
+            p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
                 slot=slot, mask=mask, layer_id=layer_id, prefill=prefill,
@@ -544,12 +585,13 @@ def forward_cached(
 
         x, (new_k, new_v, new_ks, new_vs) = lax.scan(
             step, x,
-            (params["blocks"], layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (rest, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
         )
         new_cache = KVCache(k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
     else:
         def step(x, layer):
-            p_layer, layer_id, k_l, v_l = layer
+            rest_l, layer_id, k_l, v_l = layer
+            p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
                 layer_id=layer_id, prefill=prefill,
@@ -557,7 +599,7 @@ def forward_cached(
             return x, new_kv
 
         x, (new_k, new_v) = lax.scan(
-            step, x, (params["blocks"], layer_ids, cache.k, cache.v)
+            step, x, (rest, layer_ids, cache.k, cache.v)
         )
         new_cache = KVCache(k=new_k, v=new_v)
 
@@ -594,9 +636,11 @@ def forward_decode_batched(
     slot = jnp.where(positions >= S, positions % S, positions)  # [B]
 
     layer_ids = jnp.arange(config.n_layer)
+    rest, qmap = _split_qlin(params["blocks"])
     if cache.quantized:
         def step(x, layer):
-            p_layer, layer_id, k_l, v_l, ks_l, vs_l = layer
+            rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
+            p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
                 slot=slot, mask=mask, layer_id=layer_id,
@@ -605,19 +649,20 @@ def forward_decode_batched(
 
         x, (nk, nv, nks, nvs) = lax.scan(
             step, x,
-            (params["blocks"], layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (rest, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
         )
         new_cache = KVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
     else:
         def step(x, layer):
-            p_layer, layer_id, k_l, v_l = layer
+            rest_l, layer_id, k_l, v_l = layer
+            p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
                 layer_id=layer_id,
             )
             return x, new_kv
 
-        x, (nk, nv) = lax.scan(step, x, (params["blocks"], layer_ids, cache.k, cache.v))
+        x, (nk, nv) = lax.scan(step, x, (rest, layer_ids, cache.k, cache.v))
         new_cache = KVCache(k=nk, v=nv)
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)

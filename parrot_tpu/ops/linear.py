@@ -61,6 +61,10 @@ def apply_linear(
     XLA/Pallas computation."""
     from parrot_tpu.quantize import formats
 
+    if isinstance(params, formats.StackedQuantizedLinear):
+        # stacked [L, ...] weights + traced layer index: the kernels index
+        # the stacked arrays directly (no per-layer weight copy per step)
+        return formats.apply_quantized_linear(params.p, x, layer=params.layer)
     if isinstance(params, formats.QuantizedLinear):
         return formats.apply_quantized_linear(params, x)
     if isinstance(params, dict) and "w" in params:

@@ -329,12 +329,12 @@ def set_int4_variant(name: str) -> None:
     W8A8 = name == "w8a8"
 
 
-def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
-    Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
+def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    Kp, Np = p.qw.shape[-2] * 2, p.qw.shape[-1]
     gs = Kp if p.group_size == -1 else p.group_size
     k_tile = _pick_k_tile(Kp)
     if Kp % formats.PACK_BLOCK or gs % k_tile != 0:
-        return int4_matmul(p, x)  # grouped finer than a tile: standard kernel
+        return int4_matmul(p, x, layer)  # grouped finer than a tile: standard kernel
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
     n_k = Kp // k_tile
     n_groups = Kp // gs
@@ -350,6 +350,7 @@ def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
         ],
         [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
         x.dtype,
+        layer=layer,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
@@ -411,35 +412,73 @@ def _pick_k_tile(Kp: int) -> int:
     return K_TILE if Kp % K_TILE == 0 else formats.PACK_BLOCK
 
 
-def _common_call(kernel, x2, Mp, Kp, Np, m_tile, k_tile, extra_specs, extra_args, out_dtype):
+def _common_call(kernel, x2, Mp, Kp, Np, m_tile, k_tile, extra_specs, extra_args,
+                 out_dtype, *, layer=None, stacked=None):
     # N edge blocks may be partial (masked by Pallas); K must divide exactly —
     # a partial K tile would accumulate garbage rows into real outputs
     assert Kp % k_tile == 0, (Kp, k_tile)
     grid = (Mp // m_tile, pl.cdiv(Np, N_TILE), Kp // k_tile)
-    return pl.pallas_call(
-        kernel,
+    x_spec = pl.BlockSpec((m_tile, k_tile), lambda m, n, k: (m, k),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((m_tile, N_TILE), lambda m, n, k: (m, n),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Mp, Np), out_dtype)
+    scratch = [pltpu.VMEM((m_tile, N_TILE), jnp.float32)]
+    if layer is None:
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec, *extra_specs],
+            out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
+            interpret=_INTERPRET,
+        )(x2, *extra_args)
+
+    # Stacked-layer mode: weight operands carry a leading [L] axis and the
+    # runtime layer index arrives via scalar prefetch; the index maps select
+    # the layer's slab so the DMA reads straight out of the stacked array.
+    # This is what lets the decode scan close over stacked weights without
+    # XLA materializing a per-layer copy every step (a copy the profiler
+    # showed costing ~44% of the 3B int4 decode step — PERF.md round 3).
+    def with_l(spec, is_stacked):
+        im = spec.index_map
+        if is_stacked:
+            return pl.BlockSpec(
+                (None, *spec.block_shape),
+                (lambda m, n, k, l, _im=im: (l[0], *_im(m, n, k))),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            spec.block_shape,
+            (lambda m, n, k, l, _im=im: _im(m, n, k)),
+            memory_space=getattr(spec, "memory_space", None) or pltpu.VMEM,
+        )
+
+    if stacked is None:
+        stacked = (True,) * len(extra_specs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m_tile, k_tile), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            *extra_specs,
-        ],
-        out_specs=pl.BlockSpec(
-            (m_tile, N_TILE), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        scratch_shapes=[pltpu.VMEM((m_tile, N_TILE), jnp.float32)],
+        in_specs=[with_l(x_spec, False)]
+        + [with_l(s, st) for s, st in zip(extra_specs, stacked)],
+        out_specs=with_l(out_spec, False),
+        scratch_shapes=scratch,
+    )
+
+    def kernel_drop_scalar(l_ref, *refs):  # kernels don't consume the index
+        return kernel(*refs)
+
+    return pl.pallas_call(
+        kernel_drop_scalar, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_INTERPRET,
-    )(x2, *extra_args)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x2, *extra_args)
 
 
-def int8_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
-    Kp, Np = p.qw.shape
+def int8_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    Kp, Np = p.qw.shape[-2:]
     if Kp % formats.PACK_BLOCK:
-        return _xla_int8(p, x)
+        return _xla_int8(p if layer is None else formats.take_layer(p, layer), x)
     k_tile = _pick_k_tile(Kp)
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
     kernel = functools.partial(_int8_kernel, n_k=Kp // k_tile)
-    scales2d = p.scales.reshape(1, Np)
+    scales2d = p.scales.reshape((-1, 1, Np) if layer is not None else (1, Np))
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
@@ -448,19 +487,20 @@ def int8_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
         ],
         [p.qw, scales2d],
         x.dtype,
+        layer=layer,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
 
-def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
+def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp.ndarray:
     if p.fmt in ("nf4", "fp4"):
-        return _codebook_matmul(p, x)
-    Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
+        return _codebook_matmul(p if layer is None else formats.take_layer(p, layer), x)
+    Kp, Np = p.qw.shape[-2] * 2, p.qw.shape[-1]
     gs = Kp if p.group_size == -1 else p.group_size
     k_tile = _pick_k_tile(Kp)
     aligned = Kp % formats.PACK_BLOCK == 0 and (gs % k_tile == 0 or k_tile % gs == 0)
     if not aligned:
-        return _xla_dequant(p, x)
+        return _xla_dequant(p if layer is None else formats.take_layer(p, layer), x)
     x2, batch_shape, M, m_tile = _prep_x(x, Kp)
     n_k = Kp // k_tile
     n_groups = Kp // gs
@@ -483,6 +523,7 @@ def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
         ],
         [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
         x.dtype,
+        layer=layer,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 

@@ -19,13 +19,19 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarray:
-    """``y = x @ dequant(p)`` with shape ``x: [..., in] -> y: [..., out]``."""
+def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    """``y = x @ dequant(p)`` with shape ``x: [..., in] -> y: [..., out]``.
+
+    ``layer``: traced index selecting a slab of stacked ``[L, ...]`` params —
+    the Pallas kernels read it via scalar prefetch (no per-layer weight copy);
+    the XLA oracle paths slice first (fused, also copy-free)."""
     if p.fmt == "int8":
         if _on_tpu():
             from parrot_tpu.ops import pallas_quant
 
-            return pallas_quant.int8_matmul(p, x)
+            return pallas_quant.int8_matmul(p, x, layer=layer)
+        if layer is not None:
+            p = formats.take_layer(p, layer)
         # scales are per-output-channel, so they commute past the contraction:
         # contract against raw int8 weights (cast to activation dtype) and
         # rescale the [..., out] result — never materializes fp weights.
@@ -40,8 +46,10 @@ def quantized_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
             from parrot_tpu.ops import pallas_quant
 
             if p.fmt == "int4" and pallas_quant.W8A8:
-                return pallas_quant.int4_matmul_w8a8(p, x)
-            return pallas_quant.int4_matmul(p, x)
+                return pallas_quant.int4_matmul_w8a8(p, x, layer=layer)
+            return pallas_quant.int4_matmul(p, x, layer=layer)
+        if layer is not None:
+            p = formats.take_layer(p, layer)
         w = formats.dequantize(p, dtype=x.dtype)
         return jnp.dot(x, w)
     raise ValueError(f"Unknown quantized format {p.fmt!r}")

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -281,12 +282,44 @@ def dequantize(p: QuantizedLinear, dtype: jnp.dtype = jnp.float32) -> jnp.ndarra
     raise ValueError(f"Unknown quantized format {p.fmt!r}")
 
 
-def apply_quantized_linear(p: QuantizedLinear, x: jnp.ndarray) -> jnp.ndarray:
+class StackedQuantizedLinear:
+    """A stacked ``[L, ...]`` :class:`QuantizedLinear` paired with a traced
+    layer index — created *inside* a decode trace so the Pallas kernels can
+    DMA straight out of the stacked arrays (scalar-prefetch index maps)
+    instead of XLA materializing a per-layer copy on every step. Plain
+    object, deliberately NOT a pytree node: it never crosses a jit boundary."""
+
+    __slots__ = ("p", "layer")
+
+    def __init__(self, p: QuantizedLinear, layer):
+        self.p = p
+        self.layer = layer
+
+
+def take_layer(p: QuantizedLinear, layer) -> QuantizedLinear:
+    """Per-layer slice of a stacked QuantizedLinear (XLA fallback paths)."""
+    import jax
+
+    idx = lambda a: None if a is None else jax.lax.dynamic_index_in_dim(
+        a, layer, 0, keepdims=False)
+    return QuantizedLinear(
+        qw=idx(p.qw), scales=idx(p.scales), zeros=idx(p.zeros),
+        scales2=idx(p.scales2), b=idx(p.b), fmt=p.fmt,
+        group_size=p.group_size, in_features=p.in_features,
+        out_features=p.out_features,
+    )
+
+
+def apply_quantized_linear(p: QuantizedLinear, x: jnp.ndarray, layer=None) -> jnp.ndarray:
     """Quantized matmul. Uses a fused Pallas kernel on TPU where profitable;
-    falls back to the XLA dequantize-then-dot reference path."""
+    falls back to the XLA dequantize-then-dot reference path. ``layer``
+    selects a slab of stacked ``[L, ...]`` parameters (see
+    :class:`StackedQuantizedLinear`)."""
     from parrot_tpu.ops import quant_matmul
 
-    y = quant_matmul.quantized_matmul(p, x)
+    y = quant_matmul.quantized_matmul(p, x, layer=layer)
     if p.b is not None:
-        y = y + p.b.astype(y.dtype)
+        b = p.b if layer is None else jax.lax.dynamic_index_in_dim(
+            p.b, layer, 0, keepdims=False)
+        y = y + b.astype(y.dtype)
     return y

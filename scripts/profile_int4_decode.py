@@ -58,9 +58,9 @@ def main(
     import functools
 
     from parrot_tpu.config import Config
-    from parrot_tpu.generate.engine import _decode_step
     from parrot_tpu.models import gpt
     from parrot_tpu.ops import pallas_quant
+    from parrot_tpu.ops.sampling import sample
     from parrot_tpu.quantize import api
 
     config = Config.from_name(model)
@@ -71,7 +71,18 @@ def main(
         params = api.init_quantized_params(config, jax.random.PRNGKey(0), "gptq.int4")
         jax.block_until_ready(params)
         cache = gpt.KVCache.init(config, 1, 512, dtype=jnp.int8)
-        step = functools.partial(_decode_step, config=config, temperature=0.8, top_k=200)
+
+        # a FRESH jit per variant: the kernel choice is a module global read
+        # at trace time, so reusing a module-level jitted step would silently
+        # profile the first variant three times
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def step_fn(params, tok, cache, pos, rng):
+            logits, cache = gpt.forward_cached(
+                params, config, tok[None, None], cache, pos)
+            return sample(rng, logits[0, -1], 0.8, 200, None), cache
+
+        def step(params, tok, cache, pos, rng):
+            return step_fn(params, tok, cache, pos, rng)
         tok = jnp.asarray(1, jnp.int32)
         rng = jax.random.PRNGKey(0)
         pos = 0

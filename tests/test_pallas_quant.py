@@ -100,3 +100,72 @@ def test_batched_input_shape():
     assert y.shape == (2, 3, N)
     expected = x @ formats.dequantize(p)
     np.testing.assert_allclose(np.asarray(y), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("variant", ["2dot-f32", "grouped", "w8a8"])
+def test_int4_stacked_layer_prefetch(variant, monkeypatch):
+    """Stacked [L, ...] weights + runtime layer index (scalar prefetch) must
+    match the per-layer-sliced kernel call — the copy-free decode path."""
+    monkeypatch.setattr(pallas_quant, "INT4_VARIANT",
+                        "grouped" if variant == "grouped" else "2dot")
+    monkeypatch.setattr(pallas_quant, "DOT_F32", variant == "2dot-f32")
+    L, K, N = 3, 512, 384
+    ws = [jax.random.normal(jax.random.PRNGKey(i), (K, N)) * 0.1 for i in range(L)]
+    ps = [formats.quantize_int4(w, group_size=-1) for w in ws]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *ps)
+    x = mk_x(1, K, seed=3)
+    fn = pallas_quant.int4_matmul_w8a8 if variant == "w8a8" else pallas_quant.int4_matmul
+    for l in range(L):
+        expected = fn(ps[l], x)
+        got = fn(stacked, x, layer=jnp.asarray(l, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+def test_int8_stacked_layer_prefetch():
+    L, K, N = 3, 512, 384
+    ws = [jax.random.normal(jax.random.PRNGKey(10 + i), (K, N)) * 0.1 for i in range(L)]
+    ps = [formats.quantize_int8(w) for w in ws]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *ps)
+    x = mk_x(2, K, seed=4)
+    for l in range(L):
+        expected = pallas_quant.int8_matmul(ps[l], x)
+        got = pallas_quant.int8_matmul(stacked, x, layer=jnp.asarray(l, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+def test_decode_stacked_path_matches_sliced(monkeypatch):
+    """forward_cached routes stacked quantized weights through the
+    scalar-prefetch kernels (interpret): greedy decode tokens must match the
+    XLA fallback path bit-for-bit."""
+    from parrot_tpu.config import Config
+    from parrot_tpu.models import gpt
+    from parrot_tpu.ops import quant_matmul
+    from parrot_tpu.quantize import api
+
+    config = Config(
+        name="stack-tiny", block_size=64, vocab_size=64, padded_vocab_size=64,
+        n_layer=2, n_head=2, n_embd=256,  # K=256 aligns with PACK_BLOCK
+    )
+    params = gpt.init_params(config, jax.random.PRNGKey(0))
+    q = api.quantize_params(params, config, "gptq.int4")
+
+    def run():
+        cache = gpt.KVCache.init(config, 1, 32, dtype=jnp.float32)
+        toks = [5]
+        logits, cache = gpt.forward_cached(
+            q, config, jnp.asarray([[5]], jnp.int32), cache, jnp.asarray(0))
+        for pos in range(1, 8):
+            tok = int(jnp.argmax(logits[0, -1]))
+            toks.append(tok)
+            logits, cache = gpt.forward_cached(
+                q, config, jnp.asarray([[tok]], jnp.int32), cache,
+                jnp.asarray(pos))
+        return toks
+
+    ref = run()  # XLA fallback (CPU backend)
+    monkeypatch.setattr(pallas_quant, "_INTERPRET", True)
+    monkeypatch.setattr(quant_matmul, "_on_tpu", lambda: True)
+    got = run()  # stacked scalar-prefetch kernels in interpret mode
+    assert ref == got, (ref, got)

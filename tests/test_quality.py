@@ -110,11 +110,11 @@ def test_w8a8_ppl_delta(trained, monkeypatch):
     monkeypatch.setattr(quant_matmul, "_on_tpu", lambda: True)
     monkeypatch.setattr(pallas_quant, "W8A8", True)
 
-    def counting(p, x):
+    def counting(p, x, layer=None):
         calls.append(p.qw.shape)
-        return real(p, x)
+        return real(p, x, layer)
 
-    def no_fallback(p, x):
+    def no_fallback(p, x, layer=None):
         raise AssertionError("w8a8 wrapper fell back to the standard kernel")
 
     monkeypatch.setattr(pallas_quant, "int4_matmul_w8a8", counting)
