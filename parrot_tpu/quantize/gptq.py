@@ -140,19 +140,35 @@ def _prepare_hinv(H, W, *, percdamp: float, actorder: bool,
     Lr = _chol_reversed(H)
     jax.block_until_ready(Lr)
     del H
+    if offload:
+        # TRUE offload: only the Cholesky runs on device (~2 K^2 fp32 peak).
+        # XLA's triangular_solve program materializes ~3 copies of L in temps
+        # — 15.3 GB at K=28672, over HBM even chunked (measured round 3) — so
+        # the inverse runs on the host in column chunks instead; the greedy
+        # block loop then streams U back up once.
+        import scipy.linalg
+
+        L_host = np.asarray(Lr)
+        Lr.delete()  # free K^2 on device before uploading U
+        cs = 4096
+        cols = []
+        for c0 in range(0, K, cs):
+            rhs = np.zeros((K, min(cs, K - c0)), np.float32)
+            rhs[np.arange(c0, c0 + rhs.shape[1]), np.arange(rhs.shape[1])] = 1.0
+            cols.append(scipy.linalg.solve_triangular(
+                L_host, rhs, lower=True, check_finite=False))
+        del L_host
+        Linv_r = np.concatenate(cols, axis=1)
+        del cols
+        U = jnp.asarray(Linv_r[::-1, ::-1])
+        return W, U, perm
     cs = min(K, 1024)  # solve temps scale with the RHS width; 4096 peaked >17 GB at K=16k
     blocks = []
     for c0 in range(0, K, cs):
         blk = _tri_solve_block(Lr, c0=c0, cs=min(cs, K - c0))
         jax.block_until_ready(blk)
-        blocks.append(np.asarray(blk) if offload else blk)
-    if offload:
-        Lr.delete()  # free K^2 on device before uploading U
-        Linv_r = np.concatenate(blocks, axis=1)
-        del blocks
-        U = jnp.asarray(Linv_r[::-1, ::-1])
-    else:
-        U = jnp.concatenate(blocks, axis=1)[::-1, ::-1]
+        blocks.append(blk)
+    U = jnp.concatenate(blocks, axis=1)[::-1, ::-1]
     return W, U, perm
 
 
