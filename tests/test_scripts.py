@@ -307,7 +307,9 @@ def test_batch_inference_script(tmp_path, capsys):
 
 
 def test_cli_help_smoke():
-    for script in ("generate.py", "chat.py", "finetune_lora.py", "quantize_gptq.py"):
+    for script in ("generate.py", "chat.py", "finetune_lora.py", "quantize_gptq.py",
+                   "benchmark_train.py", "benchmark_speculative.py",
+                   "profile_int4_decode.py", "pretrain_openwebtext_trainer.py"):
         result = subprocess.run(
             [sys.executable, str(SCRIPTS / script), "-h"],
             capture_output=True, text=True, timeout=120,
