@@ -184,6 +184,7 @@ class ServingEngine:
         # admission (TTFT read immediately); False (default) defers first
         # tokens to the step/burst barrier so admissions pipeline.
         self.sync_admission = sync_admission
+        self._sync_finished: list = []  # admission-time retirees (sync mode)
 
     # -- public API ---------------------------------------------------------
 
@@ -220,9 +221,11 @@ class ServingEngine:
         decode for all active slots. Returns requests that finished this
         step."""
         pending = self._admit()
+        finished = list(self._sync_finished)
+        self._sync_finished.clear()
         active = [b for b, r in enumerate(self.occupant) if r is not None]
         if not active:
-            return []
+            return finished
 
         first_snapshot = self.cur if pending else None  # first tokens, pre-decode
         positions = jnp.asarray(
@@ -238,7 +241,6 @@ class ServingEngine:
         toks = np.asarray(nxt)  # host sync: admission decisions need the values
         now = time.perf_counter()
 
-        finished = []
         self._account_pending(pending, first_snapshot, now, finished)
         for b in active:
             req = self.occupant[b]
@@ -266,9 +268,11 @@ class ServingEngine:
         occupant (position masking; same argument as bucketed prefill).
         """
         pending = self._admit()
+        finished = list(self._sync_finished)
+        self._sync_finished.clear()
         active = [b for b, r in enumerate(self.occupant) if r is not None]
         if not active:
-            return []
+            return finished
 
         first_snapshot = self.cur if pending else None  # first tokens, pre-decode
         positions = jnp.asarray(
@@ -283,7 +287,6 @@ class ServingEngine:
         toks = np.asarray(toks)  # [n, slots] host sync, once per burst
         now = time.perf_counter()
 
-        finished = []
         self._account_pending(pending, first_snapshot, now, finished)
         for b in active:
             req = self.occupant[b]
@@ -337,9 +340,10 @@ class ServingEngine:
             self.occupant[b] = req
             self.pos[b] = T + 1
             if self.sync_admission:
-                finished: list = []
+                # retirees land in _sync_finished so step()/step_burst()
+                # report them exactly like the async path does
                 self._account_pending([(req, b)], self.cur, time.perf_counter(),
-                                      finished)
+                                      self._sync_finished)
             else:
                 pending.append((req, b))
         return pending

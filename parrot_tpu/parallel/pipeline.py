@@ -181,4 +181,12 @@ def make_pipeline_train_step(
     step = train.make_train_step(
         config, optimizer, remat=remat, pipeline=(mesh, n_micro), **train_kw
     )
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def pipeline_step(params, opt_state, batch):
+        return jitted(params, opt_state, batch)
+
+    # callers must init opt_state from THIS optimizer (optax.masked-wrapped
+    # when a trainable_mask was passed) — same contract as make_train_step
+    pipeline_step.optimizer = step.optimizer
+    return pipeline_step

@@ -130,10 +130,16 @@ def finetune(
     if mesh is not None:
         params = sharding.shard_params(mesh, params)
     if context > 1:
-        # the ring shards the token axis: sequence length must divide evenly
-        seq_length = min(
-            config.block_size, ((seq_length + context - 1) // context) * context
-        )
+        # the ring shards the token axis: sequence length must divide evenly.
+        # Round UP within the block-size/user caps, else DOWN (never exceed
+        # either cap, and never end up non-divisible after clamping).
+        up = ((seq_length + context - 1) // context) * context
+        cap = min(config.block_size, max_seq_length or config.block_size)
+        seq_length = up if up <= cap else (cap // context) * context
+        if seq_length < context:
+            raise ValueError(
+                f"sequence cap {cap} is too small for context axis {context}"
+            )
 
     optimizer = optim.adamw(
         optim.warmup_constant(learning_rate, warmup_steps), weight_decay=weight_decay

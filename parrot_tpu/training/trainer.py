@@ -54,8 +54,11 @@ class ModelCheckpoint(Callback):
         self.every = every_n_train_steps
 
     def on_train_batch_end(self, trainer, loss, step):
-        if step > 0 and step % self.every == 0:
-            self._save(trainer, step)
+        # the state saved here is AFTER iteration ``step`` ran, so record
+        # iter_num = step + 1: resume continues at the NEXT iteration instead
+        # of re-applying an already-taken optimizer step
+        if step > 0 and (step + 1) % self.every == 0:
+            self._save(trainer, step + 1)
 
     def on_fit_end(self, trainer):
         self._save(trainer, trainer.iter_num)
@@ -84,12 +87,15 @@ class SpeedMonitorCallback(Callback):
         self._t0 = time.perf_counter()
 
     def on_train_batch_end(self, trainer, loss, step):
+        # count from THIS fit's start: after ckpt_path='last' resume the
+        # global step is large but the clock started at resume
+        done = step - trainer.iter_start + 1
         self.monitor.on_train_batch_end(
-            samples=(step + 1) * trainer.batch_size,
+            samples=done * trainer.batch_size,
             train_elapsed=time.perf_counter() - self._t0,
             world_size=max(jax.device_count(), 1),
             flops_per_batch=trainer.flops_per_batch,
-            lengths=(step + 1) * trainer.batch_size * trainer.seq_length,
+            lengths=done * trainer.batch_size * trainer.seq_length,
         )
 
 
@@ -192,8 +198,9 @@ class Trainer:
         eval_fn = jax.jit(train.make_eval_step(module.config, shift=False))
 
         self.params, self.opt_state = params, opt_state
+        self.iter_start = iter_start
         first = None
-        loss = float("nan")
+        loss_dev = None
         for it in range(iter_start, self.max_iters):
             self.iter_num = it
             batch = next(train_batches)
@@ -210,12 +217,14 @@ class Trainer:
             self.params, self.opt_state, loss_dev = step_fn(
                 self.params, self.opt_state, batch
             )
-            loss = float(loss_dev)
             dt = time.perf_counter() - t0
-            self._fire("on_train_batch_end", loss, it)
+            # loss stays on device between log points: a host sync per step
+            # would drain the dispatch pipeline (~25 ms each on the relay —
+            # PERF.md); callbacks get the device scalar
+            self._fire("on_train_batch_end", loss_dev, it)
             if it % self.log_interval == 0:
-                print(f"iter {it}: loss {loss:.4f}, {dt * 1000:.1f} ms/iter",
-                      file=sys.stderr)
+                print(f"iter {it}: loss {float(loss_dev):.4f}, "
+                      f"{dt * 1000:.1f} ms/iter", file=sys.stderr)
             if val_batches is not None and it > 0 and it % self.eval_interval == 0:
                 losses = [
                     float(eval_fn(self.params, vb))
@@ -226,4 +235,5 @@ class Trainer:
                 self._fire("on_validation_end", val_loss, it)
         self.iter_num = self.max_iters
         self._fire("on_fit_end")
-        return {"final_loss": loss, "params": self.params}
+        final_loss = float(loss_dev) if loss_dev is not None else float("nan")
+        return {"final_loss": final_loss, "params": self.params}
