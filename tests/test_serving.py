@@ -120,3 +120,20 @@ def test_burst_budget_exact():
     eng.run_until_drained(max_steps=50, burst=8)   # burst overshoots budget
     assert req.done and len(req.produced) == 5
     assert req.produced == _reference_tokens(params, [1, 2, 3], 5)
+
+
+def test_admission_retirees_reported_both_modes():
+    """A request whose budget is exhausted by its admission first token must
+    be returned from step() in BOTH admission modes (the sync path used to
+    drop it from the finished list)."""
+    params = make_params()
+    for sync in (False, True):
+        eng = ServingEngine(
+            params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.float32,
+            max_seq_length=32, sync_admission=sync,
+        )
+        req = eng.submit(np.asarray([1, 2, 3], np.int32), max_new_tokens=1)
+        finished = eng.step()
+        assert req.done and len(req.produced) == 1, (sync, req.produced)
+        assert req in finished, f"sync={sync}: retiree not reported"
+        assert req.ttft is not None
