@@ -211,6 +211,24 @@ def bench_serving_ttft(config, params, cache_dtype) -> None:
         )
 
 
+def early_wedge_watchdog(deadline_s: float = 150.0) -> None:
+    """A wedged device hangs backend init indefinitely; burning the whole
+    child budget on it starves later (post-recovery) attempts. If we are
+    still stuck before the first device op after ``deadline_s``, emit the
+    stall marker and exit so the supervisor's backoff clock starts sooner."""
+    time.sleep(deadline_s)
+    with LOCK:
+        if STATE["printed"] or STATE["stage"] not in ("import", "init_params"):
+            return
+        STATE["printed"] = True
+        print(json.dumps({
+            "metric": "bench_watchdog", "value": 0.0,
+            "unit": f"watchdog fired during stage={STATE['stage']}",
+            "vs_baseline": 0,
+        }), flush=True)
+    os._exit(0)
+
+
 def watchdog(budget_s: float) -> None:
     time.sleep(budget_s)
     with LOCK:
@@ -273,6 +291,7 @@ def main() -> None:
         args=(float(os.environ.get("BENCH_BUDGET_S", "1380")),),
         daemon=True,
     ).start()
+    threading.Thread(target=early_wedge_watchdog, daemon=True).start()
 
     from parrot_tpu.config import Config
     from parrot_tpu.models import gpt
