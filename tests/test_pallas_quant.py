@@ -169,3 +169,38 @@ def test_decode_stacked_path_matches_sliced(monkeypatch):
     monkeypatch.setattr(quant_matmul, "_on_tpu", lambda: True)
     got = run()  # stacked scalar-prefetch kernels in interpret mode
     assert ref == got, (ref, got)
+
+
+def test_ragged_decode_stacked_path_matches_sliced(monkeypatch):
+    """forward_decode_batched (the serving ragged step) through the stacked
+    scalar-prefetch kernels must match the XLA fallback bit-for-bit."""
+    from parrot_tpu.config import Config
+    from parrot_tpu.models import gpt
+    from parrot_tpu.ops import quant_matmul
+    from parrot_tpu.quantize import api
+
+    config = Config(
+        name="stack-ragged-tiny", block_size=64, vocab_size=64,
+        padded_vocab_size=64, n_layer=2, n_head=2, n_embd=256,
+    )
+    params = gpt.init_params(config, jax.random.PRNGKey(1))
+    q = api.quantize_params(params, config, "gptq.int4")
+
+    def run():
+        cache = gpt.KVCache.init(config, 3, 16, dtype=jnp.float32)
+        toks = jnp.asarray([[5], [9], [2]], jnp.int32)
+        positions = jnp.asarray([0, 3, 1], jnp.int32)
+        out = []
+        for _ in range(4):
+            logits, cache = gpt.forward_decode_batched(
+                q, config, toks, cache, positions)
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            positions = positions + 1
+            out.append(np.asarray(toks)[:, 0].tolist())
+        return out
+
+    ref = run()
+    monkeypatch.setattr(pallas_quant, "_INTERPRET", True)
+    monkeypatch.setattr(quant_matmul, "_on_tpu", lambda: True)
+    got = run()
+    assert ref == got, (ref, got)
