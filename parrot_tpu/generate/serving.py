@@ -262,8 +262,11 @@ class ServingEngine:
         Retirement only happens at burst boundaries: a request that hits EOS
         or its budget mid-burst keeps its slot (computing ignored tokens)
         until the burst ends, and its post-EOS tokens are dropped host-side —
-        the classic batching granularity/throughput tradeoff. TTFT is
-        unaffected (first tokens come from admission prefill). Stale KV rows
+        the classic batching granularity/throughput tradeoff. In the default
+        async-admission mode the first token is *read* at the burst-end
+        barrier, so reported TTFT includes up to a full burst of decode; pass
+        ``sync_admission=True`` for latency-honest TTFT A/Bs against the old
+        sync numbers. Stale KV rows
         written past a retired request's end are invisible to the slot's next
         occupant (position masking; same argument as bucketed prefill).
         """

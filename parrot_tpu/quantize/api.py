@@ -101,7 +101,7 @@ def init_quantized_params(
     (it was the round-1 driver-bench timeout)."""
     from parrot_tpu.quantize.formats import K_ALIGN, N_ALIGN, _round_up
 
-    if mode not in ("gptq.int4", "bnb.int8"):
+    if mode not in ("gptq.int4", "bnb.int8", "bnb.nf4"):
         raise NotImplementedError(mode)
     L, D, I, V = config.n_layer, config.n_embd, config.intermediate_size, config.padded_vocab_size
 
@@ -119,6 +119,16 @@ def init_quantized_params(
             return formats.QuantizedLinear(
                 qw=qw, scales=scales, zeros=zeros,
                 fmt="int4", group_size=-1, in_features=k, out_features=n,
+            )
+        if mode == "bnb.nf4":
+            bs = 64
+            qw = jax.random.bits(next(keys), prefix + (kp // 2, np_), jnp.uint8)
+            scales = jax.random.uniform(
+                next(keys), prefix + (kp // bs, np_), jnp.float32, 1e-3, 1e-2
+            )
+            return formats.QuantizedLinear(
+                qw=qw, scales=scales, fmt="nf4", group_size=bs,
+                in_features=k, out_features=n,
             )
         qw = jax.lax.bitcast_convert_type(
             jax.random.bits(next(keys), prefix + (kp, np_), jnp.uint8), jnp.int8

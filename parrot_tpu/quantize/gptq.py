@@ -145,9 +145,14 @@ def _prepare_hinv(H, W, *, percdamp: float, actorder: bool,
         # XLA's triangular_solve program materializes ~3 copies of L in temps
         # — 15.3 GB at K=28672, over HBM even chunked (measured round 3) — so
         # the inverse runs on the host in column chunks instead; the greedy
-        # block loop then streams U back up once.
-        import scipy.linalg
-
+        # block loop then streams U back up once. scipy ships transitively
+        # with jax; if a slim env lacks it, fall through to the chunked
+        # device solve (smaller-K path) rather than crash.
+        try:
+            import scipy.linalg
+        except ImportError:
+            offload = False
+    if offload:
         L_host = np.asarray(Lr)
         Lr.delete()  # free K^2 on device before uploading U
         cs = 4096

@@ -51,7 +51,8 @@ def main(
     dtype = jnp.bfloat16 if "bf16" in precision else jnp.float32
     config = Config.from_name(model)
     if block_size:
-        config.block_size = block_size
+        # Config is a frozen dataclass — attribute assignment raises
+        config = config.replace(block_size=block_size)
     seq = min(seq, config.block_size)
 
     rng = jax.random.PRNGKey(0)
