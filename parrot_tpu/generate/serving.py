@@ -166,13 +166,31 @@ class ServingEngine:
         eos_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
         sync_admission: bool = False,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` — params are tensor/fsdp-sharded
+        by the :mod:`parrot_tpu.parallel.sharding` rules and the slot KV cache
+        is placed slots-over-(data,fsdp) x kv-heads-over-tensor, so the same
+        admission/decode/retirement programs run SPMD over the mesh (the
+        BASELINE "continuous batching across hosts" composition; GSPMD inserts
+        the proj psums and cache collectives). Token streams are identical to
+        the single-device engine (``tests/test_serving.py`` parity)."""
         self.params = params
         self.config = config
         self.slots = slots
         self.S = min(max_seq_length or config.block_size, config.block_size)
         self.cache = KVCache.init(config, slots, self.S, dtype=cache_dtype)
         self.cur = jnp.zeros((slots,), jnp.int32)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from parrot_tpu.parallel import sharding as sharding_lib
+
+            self.params = sharding_lib.shard_params(mesh, params)
+            self.cache = sharding_lib.shard_kv_cache(mesh, self.cache)
+            rep = NamedSharding(mesh, P())
+            self.cur = jax.device_put(self.cur, rep)
         self.pos = np.zeros((slots,), np.int64)  # tokens so far (prompt+produced)
         self.occupant: list[Optional[Request]] = [None] * slots
         self.queue: deque[Request] = deque()

@@ -126,11 +126,46 @@ def kv_cache_spec() -> P:
     return P(None, ("data", "fsdp"), None, "tensor", None)
 
 
-def kv_cache_sharding(mesh: Mesh):
+def kv_scale_spec() -> P:
+    """INT8-cache scales ``[L, B, S, G]``: batch over data+fsdp, heads over
+    tensor (same placement as the codes they scale)."""
+    return P(None, ("data", "fsdp"), None, "tensor")
+
+
+def kv_cache_sharding(mesh: Mesh, *, quantized: bool = False):
     from parrot_tpu.models.gpt import KVCache
 
     spec = NamedSharding(mesh, kv_cache_spec())
+    if quantized:
+        sspec = NamedSharding(mesh, kv_scale_spec())
+        return KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)  # type: ignore[arg-type]
     return KVCache(k=spec, v=spec)  # type: ignore[arg-type]
+
+
+def shard_kv_cache(mesh: Mesh, cache):
+    """Device-put a live KVCache onto the mesh (slots over data+fsdp, kv heads
+    over tensor) — the serving-engine placement for 'continuous batching
+    across hosts' (BASELINE north star).
+
+    Axes that don't divide are dropped from the spec (replicated) rather than
+    erroring: MQA models (falcon-7b, ``n_query_groups=1``) can't split kv
+    heads over tensor, and a slot count below the dp width can't split the
+    batch — the params stay fully sharded either way."""
+    L, B, S, G, _ = cache.k.shape
+    dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+    tp = mesh.shape.get("tensor", 1)
+    b_ax = ("data", "fsdp") if B % dp == 0 else None
+    g_ax = "tensor" if G % tp == 0 else None
+    code_spec = NamedSharding(mesh, P(None, b_ax, None, g_ax, None))
+    scale_spec = NamedSharding(mesh, P(None, b_ax, None, g_ax))
+    from parrot_tpu.models.gpt import KVCache
+
+    shardings = KVCache(
+        k=code_spec, v=code_spec,
+        k_scale=scale_spec if cache.quantized else None,
+        v_scale=scale_spec if cache.quantized else None,
+    )
+    return jax.tree.map(jax.device_put, cache, shardings)
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:

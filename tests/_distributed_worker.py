@@ -92,4 +92,23 @@ tokens, n = engine.generate(
 toks = np.asarray(jax.device_get(tokens))[: int(n)]
 assert len(toks) > 5, toks
 
-print(f"RESULT {loss:.6f} {','.join(map(str, toks.tolist()))}", flush=True)
+# continuous batching across the process boundary: the ServingEngine's
+# admission/burst/retirement cycle with mesh-sharded params + slot KV cache;
+# every host must observe identical token streams (VERDICT r3 #2)
+from parrot_tpu.generate.serving import ServingEngine
+
+seng = ServingEngine(
+    params, config, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+    max_seq_length=32, mesh=mesh,
+)
+sreqs = [seng.submit(np.asarray(p, np.int32), max_new_tokens=4)
+         for p in ([3, 1, 4], [2, 7], [9, 8, 6])]
+seng.run_until_drained(max_steps=50, burst=2)
+assert all(r.done and len(r.produced) == 4 for r in sreqs), [
+    (r.done, r.produced) for r in sreqs]
+serve_csv = ";".join(",".join(map(str, r.produced)) for r in sreqs)
+
+print(
+    f"RESULT {loss:.6f} {','.join(map(str, toks.tolist()))} {serve_csv}",
+    flush=True,
+)

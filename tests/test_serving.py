@@ -122,6 +122,38 @@ def test_burst_budget_exact():
     assert req.produced == _reference_tokens(params, [1, 2, 3], 5)
 
 
+def test_sharded_serving_matches_single_device():
+    """The full admission/burst/retirement cycle on an 8-device mesh (params
+    tensor/fsdp-sharded, slot KV cache sharded slots x kv-heads) produces the
+    same token streams as the single-device engine — the BASELINE
+    "continuous batching across hosts" composition (VERDICT r3 #2)."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from parrot_tpu.parallel import mesh as mesh_lib
+
+    cfg = CFG.replace(n_head=4, n_query_groups=2)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9], [2, 4], [11, 3, 5], [6, 1]]
+
+    def run(mesh, burst):
+        eng = ServingEngine(
+            params, cfg, slots=4, temperature=0.0, cache_dtype=jnp.int8,
+            mesh=mesh,
+        )
+        reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        eng.run_until_drained(max_steps=200, burst=burst)
+        assert all(r.done for r in reqs)
+        return [r.produced for r in reqs]
+
+    mesh = mesh_lib.make_mesh(1, 2, 4)
+    for burst in (1, 4):  # step() and step_burst() paths
+        expected = run(None, burst)
+        actual = run(mesh, burst)
+        assert actual == expected, (burst, actual, expected)
+
+
 def test_admission_retirees_reported_both_modes():
     """A request whose budget is exhausted by its admission first token must
     be returned from step() in BOTH admission modes (the sync path used to
