@@ -140,6 +140,65 @@ def _decode_burst(
     return toks, cache, cur
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "temperature", "top_k", "top_p"),
+    donate_argnums=(1, 2),
+)
+def _admit_paged(
+    params, cache, cur: jnp.ndarray, row: jnp.ndarray,
+    pages_row: jnp.ndarray, prompt: jnp.ndarray, t_true: jnp.ndarray, rng,
+    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+):
+    """Paged admission: prefill into a batch-1 scratch cache, scatter the
+    scratch rows page-wise into the pool, sample the first token."""
+    from parrot_tpu.models import paged_kv
+
+    S = pages_row.shape[0] * cache.page_size
+    scratch = KVCache.init(
+        config, 1, S, dtype=jnp.int8 if cache.quantized else cache.k.dtype
+    )
+    logits, scratch = gpt.forward_cached(
+        params, config, prompt[None, :], scratch, jnp.asarray(0, jnp.int32),
+        prefill=True,
+    )
+    cache = paged_kv.scatter_prefill(cache, scratch, pages_row)
+    last = lax.dynamic_index_in_dim(logits[0], t_true - 1, axis=0, keepdims=False)
+    first = sample(rng, last, temperature, top_k, top_p)
+    return cache, cur.at[row].set(first)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_steps", "temperature", "top_k", "top_p"),
+    donate_argnums=(1,),
+)
+def _decode_burst_paged(
+    params, cache, cur: jnp.ndarray, page_table: jnp.ndarray,
+    positions: jnp.ndarray, rng,
+    *, config: Config, n_steps: int,
+    temperature: float, top_k: Optional[int], top_p: Optional[float],
+):
+    """Paged analogue of :func:`_decode_burst` (n_steps == 1 is the step()
+    path). The page table is fixed across the burst — the engine preallocates
+    pages covering ``positions + n_steps`` before dispatch."""
+    from parrot_tpu.models import paged_kv
+
+    def body(carry, _):
+        cache, cur, positions, rng = carry
+        logits, cache = paged_kv.forward_decode_paged(
+            params, config, cur[:, None], cache, page_table, positions
+        )
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample(step_rng, logits[:, 0], temperature, top_k, top_p)
+        return (cache, nxt, positions + 1, rng), nxt
+
+    (cache, cur, positions, rng), toks = lax.scan(
+        body, (cache, cur, positions, rng), None, length=n_steps
+    )
+    return toks, cache, cur
+
+
 class ServingEngine:
     """Slot-based continuous batching around the ragged decode step.
 
@@ -167,6 +226,9 @@ class ServingEngine:
         rng: Optional[jax.Array] = None,
         sync_admission: bool = False,
         mesh=None,
+        paged_kv: bool = False,
+        page_size: int = 64,
+        total_pages: Optional[int] = None,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` — params are tensor/fsdp-sharded
         by the :mod:`parrot_tpu.parallel.sharding` rules and the slot KV cache
@@ -174,12 +236,41 @@ class ServingEngine:
         admission/decode/retirement programs run SPMD over the mesh (the
         BASELINE "continuous batching across hosts" composition; GSPMD inserts
         the proj psums and cache collectives). Token streams are identical to
-        the single-device engine (``tests/test_serving.py`` parity)."""
+        the single-device engine (``tests/test_serving.py`` parity).
+
+        ``paged_kv``: replace the contiguous slot cache with the block-paged
+        pool (:mod:`parrot_tpu.models.paged_kv`): pages of ``page_size``
+        tokens are allocated as requests grow and freed at retirement, so
+        ``total_pages`` (default: the contiguous equivalent,
+        ``slots * S/page_size``) can undersubscribe the full-length
+        reservation. Admission backpressures when the pool is empty; a
+        running request that cannot get a page raises (size the pool for
+        ``sum(min(len_i, S))`` of concurrent requests)."""
         self.params = params
         self.config = config
         self.slots = slots
         self.S = min(max_seq_length or config.block_size, config.block_size)
-        self.cache = KVCache.init(config, slots, self.S, dtype=cache_dtype)
+        self.paged = paged_kv
+        if paged_kv:
+            from parrot_tpu.models import paged_kv as paged_lib
+
+            if self.S % page_size:
+                raise ValueError(
+                    f"max_seq_length {self.S} must be a multiple of "
+                    f"page_size {page_size}"
+                )
+            self.page_size = page_size
+            self.pages_per_slot = self.S // page_size
+            n_pages = 1 + (  # +1: reserved trash page
+                total_pages if total_pages is not None
+                else slots * self.pages_per_slot
+            )
+            self.alloc = paged_lib.PageAllocator(n_pages, slots, self.pages_per_slot)
+            self.cache = paged_lib.PagedKVCache.init(
+                config, n_pages, page_size, dtype=cache_dtype
+            )
+        else:
+            self.cache = KVCache.init(config, slots, self.S, dtype=cache_dtype)
         self.cur = jnp.zeros((slots,), jnp.int32)
         self.mesh = mesh
         if mesh is not None:
@@ -188,7 +279,10 @@ class ServingEngine:
             from parrot_tpu.parallel import sharding as sharding_lib
 
             self.params = sharding_lib.shard_params(mesh, params)
-            self.cache = sharding_lib.shard_kv_cache(mesh, self.cache)
+            if paged_kv:
+                self.cache = sharding_lib.shard_paged_kv_cache(mesh, self.cache)
+            else:
+                self.cache = sharding_lib.shard_kv_cache(mesh, self.cache)
             rep = NamedSharding(mesh, P())
             self.cur = jax.device_put(self.cur, rep)
         self.pos = np.zeros((slots,), np.int64)  # tokens so far (prompt+produced)
@@ -251,11 +345,20 @@ class ServingEngine:
             jnp.int32,
         )
         self.rng, step_rng = jax.random.split(self.rng)
-        nxt, self.cache = _decode_all_slots(
-            self.params, self.cache, self.cur, positions, step_rng,
-            config=self.config, **self.sampling,
-        )
-        self.cur = nxt
+        if self.paged:
+            self._ensure_pages(active, 1)
+            burst_toks, self.cache, self.cur = _decode_burst_paged(
+                self.params, self.cache, self.cur,
+                jnp.asarray(self.alloc.table), positions, step_rng,
+                config=self.config, n_steps=1, **self.sampling,
+            )
+            nxt = burst_toks[0]
+        else:
+            nxt, self.cache = _decode_all_slots(
+                self.params, self.cache, self.cur, positions, step_rng,
+                config=self.config, **self.sampling,
+            )
+            self.cur = nxt
         toks = np.asarray(nxt)  # host sync: admission decisions need the values
         now = time.perf_counter()
 
@@ -270,7 +373,7 @@ class ServingEngine:
             hit_eos = self.eos_id is not None and tok == self.eos_id
             if hit_eos or len(req.produced) >= req.max_new_tokens:
                 req.done, req.t_done = True, now
-                self.occupant[b] = None  # slot free for the next admission
+                self._retire(b)  # slot free for the next admission
                 finished.append(req)
         return finished
 
@@ -301,10 +404,18 @@ class ServingEngine:
             jnp.int32,
         )
         self.rng, step_rng = jax.random.split(self.rng)
-        toks, self.cache, self.cur = _decode_burst(
-            self.params, self.cache, self.cur, positions, step_rng,
-            config=self.config, n_steps=n, **self.sampling,
-        )
+        if self.paged:
+            self._ensure_pages(active, n)
+            toks, self.cache, self.cur = _decode_burst_paged(
+                self.params, self.cache, self.cur,
+                jnp.asarray(self.alloc.table), positions, step_rng,
+                config=self.config, n_steps=n, **self.sampling,
+            )
+        else:
+            toks, self.cache, self.cur = _decode_burst(
+                self.params, self.cache, self.cur, positions, step_rng,
+                config=self.config, n_steps=n, **self.sampling,
+            )
         toks = np.asarray(toks)  # [n, slots] host sync, once per burst
         now = time.perf_counter()
 
@@ -320,7 +431,7 @@ class ServingEngine:
                 hit_eos = self.eos_id is not None and tok == self.eos_id
                 if hit_eos or len(req.produced) >= req.max_new_tokens:
                     req.done, req.t_done = True, now
-                    self.occupant[b] = None
+                    self._retire(b)
                     finished.append(req)
                     break
         return finished
@@ -335,6 +446,27 @@ class ServingEngine:
 
     # -- internals ----------------------------------------------------------
 
+    def _retire(self, b: int) -> None:
+        self.occupant[b] = None
+        if self.paged:
+            self.alloc.release(b)
+
+    def _ensure_pages(self, active: list[int], n_steps: int) -> None:
+        """Preallocate pages so every active slot can write its next
+        ``n_steps`` tokens (rows ``pos-1 .. pos+n-2``)."""
+        for b in active:
+            if self.occupant[b] is None:
+                continue
+            upto = min(int(self.pos[b]) + n_steps - 1, self.S)
+            if not self.alloc.ensure(b, upto, self.page_size):
+                raise RuntimeError(
+                    f"KV page pool exhausted: slot {b} needs coverage to "
+                    f"position {upto} but only {self.alloc.n_free} pages are "
+                    f"free — size total_pages for the live token volume "
+                    f"(sum of min(prompt+new, max_seq_length) over "
+                    f"concurrent requests)"
+                )
+
     def _admit(self) -> list[tuple["Request", int]]:
         """Dispatch admission prefills into free slots WITHOUT host syncs.
 
@@ -348,16 +480,28 @@ class ServingEngine:
         for b in range(self.slots):
             if not self.queue or self.occupant[b] is not None:
                 continue
+            T = len(self.queue[0].prompt)
+            if self.paged and not self.alloc.ensure(
+                b, min(T + 1, self.S), self.page_size
+            ):
+                break  # pool empty: backpressure — request stays queued
             req = self.queue.popleft()
-            T = len(req.prompt)
             Tb = prompt_bucket(T, self.S)
             padded = _pad_to(req.prompt.astype(np.int32), Tb)
             self.rng, admit_rng = jax.random.split(self.rng)
-            self.cache, self.cur = _admit_step(
-                self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
-                padded, jnp.asarray(T, jnp.int32), admit_rng,
-                config=self.config, **self.sampling,
-            )
+            if self.paged:
+                self.cache, self.cur = _admit_paged(
+                    self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
+                    jnp.asarray(self.alloc.table[b]), padded,
+                    jnp.asarray(T, jnp.int32), admit_rng,
+                    config=self.config, **self.sampling,
+                )
+            else:
+                self.cache, self.cur = _admit_step(
+                    self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
+                    padded, jnp.asarray(T, jnp.int32), admit_rng,
+                    config=self.config, **self.sampling,
+                )
             self.occupant[b] = req
             self.pos[b] = T + 1
             if self.sync_admission:
@@ -383,5 +527,5 @@ class ServingEngine:
             hit_eos = self.eos_id is not None and tok == self.eos_id
             if hit_eos or len(req.produced) >= req.max_new_tokens:
                 req.done, req.t_done = True, now
-                self.occupant[b] = None
+                self._retire(b)
                 finished.append(req)

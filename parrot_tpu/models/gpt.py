@@ -257,6 +257,7 @@ def attn_forward(
     rng: Optional[jax.Array] = None,
     prefill: bool = False,
     context_parallel=None,  # (Mesh, axis_name): ring attention over that axis
+    page_table: Optional[jnp.ndarray] = None,  # [B, max_pages]: paged KV decode
 ):
     B, T, C = x.shape
     qkv = _qkv_with_lora(p, config, x, rng)
@@ -265,7 +266,45 @@ def attn_forward(
     scale = 1.0 / math.sqrt(config.head_size)
 
     new_kv = None
-    if kv is not None and slot is not None and getattr(slot, "ndim", 0) == 1:
+    if kv is not None and page_table is not None:
+        # paged ragged decode (T == 1): ``kv`` holds the per-layer PAGE POOL
+        # ([P, page, G, H] codes, no batch dim — sequences own disjoint pages
+        # via ``page_table``; page 0 is the trash page for unallocated slots).
+        # Write this token's K/V into its page row, then gather the slot's
+        # pages into a contiguous [B, S, G, H] view for attention — page-
+        # granular DMA reads, same bytes as the contiguous cache.
+        ps = kv[0].shape[1]
+        B_idx = jnp.arange(B)
+        page_of = page_table[B_idx, slot // ps]  # [B]
+        row = slot % ps
+        pt = jnp.maximum(page_table, 0)  # trash-page clamp for unallocated
+        S = page_table.shape[1] * ps
+        G, H = kv[0].shape[2], kv[0].shape[3]
+        if len(kv) == 4:
+            cache_k, cache_v, ks, vs = kv
+            kq, k_sc = _quantize_kv(k)
+            vq, v_sc = _quantize_kv(v)
+            cache_k = cache_k.at[page_of, row].set(kq[:, 0])
+            cache_v = cache_v.at[page_of, row].set(vq[:, 0])
+            ks = ks.at[page_of, row].set(k_sc[:, 0])
+            vs = vs.at[page_of, row].set(v_sc[:, 0])
+            new_kv = (cache_k, cache_v, ks, vs)
+            y = attention(
+                q, cache_k[pt].reshape(B, S, G, H), cache_v[pt].reshape(B, S, G, H),
+                scale=scale, mask=mask,
+                k_scale=ks[pt].reshape(B, S, G), v_scale=vs[pt].reshape(B, S, G),
+            )
+        else:
+            cache_k, cache_v = kv
+            cache_k = cache_k.at[page_of, row].set(k[:, 0].astype(cache_k.dtype))
+            cache_v = cache_v.at[page_of, row].set(v[:, 0].astype(cache_v.dtype))
+            new_kv = (cache_k, cache_v)
+            y = attention(
+                q, cache_k[pt].reshape(B, S, G, H).astype(q.dtype),
+                cache_v[pt].reshape(B, S, G, H).astype(q.dtype),
+                scale=scale, mask=mask,
+            )
+    elif kv is not None and slot is not None and getattr(slot, "ndim", 0) == 1:
         # ragged batched decode (T == 1): per-sequence cache slots
         B_idx = jnp.arange(B)
         if len(kv) == 4:
@@ -410,13 +449,14 @@ def block_forward(
     rng: Optional[jax.Array] = None,
     prefill: bool = False,
     context_parallel=None,
+    page_table: Optional[jnp.ndarray] = None,
 ):
     """One transformer block (``lit_gpt/model.py:158-180``)."""
     n_1 = apply_norm(p["norm_1"], x, config.norm_class, config.norm_eps)
     h, new_kv = attn_forward(
         p["attn"], config, n_1, cos, sin, kv=kv, slot=slot, mask=mask,
         q_offset=q_offset, window=window, layer_id=layer_id, rng=rng,
-        prefill=prefill, context_parallel=context_parallel,
+        prefill=prefill, context_parallel=context_parallel, page_table=page_table,
     )
     mlp_rng = None if rng is None else jax.random.fold_in(rng, 7)
     if config.parallel_residual:

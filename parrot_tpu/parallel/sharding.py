@@ -168,6 +168,25 @@ def shard_kv_cache(mesh: Mesh, cache):
     return jax.tree.map(jax.device_put, cache, shardings)
 
 
+def shard_paged_kv_cache(mesh: Mesh, cache):
+    """Place a paged pool on the mesh: kv heads over tensor (when divisible);
+    the page axis stays unsharded — pages are the allocator's unit and any
+    page must be writable by the slot that owns it."""
+    from parrot_tpu.models.paged_kv import PagedKVCache
+
+    G = cache.k.shape[3]
+    tp = mesh.shape.get("tensor", 1)
+    g_ax = "tensor" if G % tp == 0 else None
+    code = NamedSharding(mesh, P(None, None, None, g_ax, None))
+    scale = NamedSharding(mesh, P(None, None, None, g_ax))
+    shardings = PagedKVCache(
+        k=code, v=code,
+        k_scale=scale if cache.quantized else None,
+        v_scale=scale if cache.quantized else None,
+    )
+    return jax.tree.map(jax.device_put, cache, shardings)
+
+
 def shard_params(mesh: Mesh, params: Any) -> Any:
     """Device-put a param tree according to the rules (lazy per-leaf)."""
     shardings = param_shardings(mesh, params)

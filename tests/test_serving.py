@@ -137,10 +137,10 @@ def test_sharded_serving_matches_single_device():
     params = gpt.init_params(cfg, jax.random.PRNGKey(0))
     prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9], [2, 4], [11, 3, 5], [6, 1]]
 
-    def run(mesh, burst):
+    def run(mesh, burst, paged=False):
         eng = ServingEngine(
             params, cfg, slots=4, temperature=0.0, cache_dtype=jnp.int8,
-            mesh=mesh,
+            mesh=mesh, paged_kv=paged, max_seq_length=32, page_size=8,
         )
         reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
         eng.run_until_drained(max_steps=200, burst=burst)
@@ -150,8 +150,66 @@ def test_sharded_serving_matches_single_device():
     mesh = mesh_lib.make_mesh(1, 2, 4)
     for burst in (1, 4):  # step() and step_burst() paths
         expected = run(None, burst)
-        actual = run(mesh, burst)
-        assert actual == expected, (burst, actual, expected)
+        assert run(mesh, burst) == expected, burst
+        # paged pool on the mesh (kv heads over tensor)
+        assert run(mesh, burst, paged=True) == expected, burst
+
+
+def test_paged_kv_matches_contiguous():
+    """The block-paged INT8 KV pool must reproduce the contiguous cache's
+    token streams exactly through the full admit/decode/retire cycle, in both
+    step() and step_burst() modes (VERDICT r3 #3)."""
+    params = make_params()
+    prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9], [2, 4], [11, 3, 5], [6, 1]]
+
+    def run(paged, burst, **kw):
+        eng = ServingEngine(
+            params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+            max_seq_length=32, paged_kv=paged, page_size=8, **kw,
+        )
+        reqs = [eng.submit(p, max_new_tokens=9) for p in prompts]
+        eng.run_until_drained(max_steps=300, burst=burst)
+        assert all(r.done for r in reqs)
+        return [r.produced for r in reqs]
+
+    for burst in (1, 4):
+        expected = run(False, burst)
+        assert run(True, burst) == expected, burst
+        # oversubscribed pool: fewer pages than slots * pages_per_slot still
+        # drains (backpressure defers admission until pages free up)
+        assert run(True, burst, total_pages=5) == expected, burst
+
+
+def test_paged_pool_exhaustion_raises():
+    """A running request that cannot get a page must fail loudly with sizing
+    guidance, not corrupt another slot's pages."""
+    import pytest
+
+    params = make_params()
+    eng = ServingEngine(
+        params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+        max_seq_length=32, paged_kv=True, page_size=8, total_pages=2,
+    )
+    # two concurrent requests: each gets 1 page (8 rows); both need a second
+    # page mid-decode but the pool is empty
+    eng.submit([1, 2, 3], max_new_tokens=20)
+    eng.submit([4, 5, 6], max_new_tokens=20)
+    with pytest.raises(RuntimeError, match="page pool exhausted"):
+        eng.run_until_drained(max_steps=50)
+
+
+def test_paged_pages_freed_on_retirement():
+    params = make_params()
+    eng = ServingEngine(
+        params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+        max_seq_length=32, paged_kv=True, page_size=8,
+    )
+    free0 = eng.alloc.n_free
+    reqs = [eng.submit([1, 2, 3], max_new_tokens=4) for _ in range(4)]
+    eng.run_until_drained(max_steps=100)
+    assert all(r.done for r in reqs)
+    assert eng.alloc.n_free == free0  # every page returned
+    assert (eng.alloc.table == -1).all()
 
 
 def test_admission_retirees_reported_both_modes():
