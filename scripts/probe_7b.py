@@ -67,9 +67,23 @@ def main() -> None:
         ]
         if "-L" in mode:
             config = config.replace(n_layer=int(mode.rsplit("-L", 1)[1]))
-    elif mode == "pythia28-int4":
+    elif mode.startswith("pythia28"):
         config = Config.from_name("pythia-2.8b")
+        qmode = {"int4": "gptq.int4", "int8": "bnb.int8", "nf4": "bnb.nf4"}[
+            mode.split("-")[1]
+        ]
+    elif mode.startswith("llama7b"):
+        config = Config.from_name("Llama-2-7b-hf")
+        qmode = {"int4": "gptq.int4", "int8": "bnb.int8", "nf4": "bnb.nf4"}[
+            mode.split("-")[1]
+        ]
+        if "-L" in mode:
+            config = config.replace(n_layer=int(mode.rsplit("-L", 1)[1]))
+    elif mode.startswith("pythia69"):
+        config = Config.from_name("pythia-6.9b")
         qmode = "gptq.int4"
+        if "-L" in mode:
+            config = config.replace(n_layer=int(mode.rsplit("-L", 1)[1]))
     else:
         raise ValueError(mode)
 

@@ -211,6 +211,39 @@ def test_stream_stop_tokens_withheld(models):
     assert got == ref[:8]  # stop sequence itself withheld
 
 
+def test_distilled_draft_benchmark_measures_real_alpha(capsys):
+    """The distilled-draft harness (VERDICT r3 #4) must produce a draft whose
+    measured acceptance is REAL and nonzero: train target on a Markov corpus,
+    sample a distill set from it, distill a draft, A/B speculative decode."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import benchmark_distilled_draft as bd
+
+    from parrot_tpu.config import name_to_config
+
+    name_to_config.setdefault("spec-tiny-test", dict(
+        name="spec-tiny-test", block_size=128, vocab_size=16,
+        padded_vocab_size=16, n_layer=2, n_head=2, n_embd=48,
+        rotary_percentage=1.0,
+    ))
+    res = bd.main(
+        target_model="spec-tiny-test", draft_layers=1, draft_embd=32,
+        draft_heads=2, corpus_vocab=16, corpus_len=16384, corpus_dep=1,
+        target_steps=250, draft_steps=150, distill_seqs=32, distill_len=128,
+        distill_temperature=0.8, seq=48, batch=8, k=4, new_tokens=32,
+        reps=1, precision="32-true", target_lr=3e-3, draft_lr=3e-3,
+        temperature=0.8,
+    )
+    capsys.readouterr()
+    summaries = [r for r in res if r.get("phase") == "summary"]
+    assert summaries, res
+    # a genuinely distilled draft beats the round-3 random-draft floor (0.0)
+    assert summaries[0]["alpha"] > 0.2, summaries
+    assert summaries[0]["alpha"] <= 1.0
+
+
 def test_chat_repl_with_draft(tmp_path, capsys, monkeypatch):
     """chat.py --draft_dir streams a reply through speculative decoding."""
     import sys
