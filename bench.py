@@ -211,6 +211,49 @@ def bench_serving_ttft(config, params, cache_dtype) -> None:
         )
 
 
+def bench_train_metric() -> None:
+    """Third metric line: a real training step on the chip (pythia-410m LoRA,
+    seq 1024 — the production ``train.make_train_step``), so a training number
+    driver-lands in BENCH_r*.json (VERDICT r3 #5)."""
+    import numpy as np
+
+    from parrot_tpu.config import Config
+    from parrot_tpu.models import gpt
+    from parrot_tpu.training import optim, train
+    from parrot_tpu.training.finetune import setup_method
+
+    STATE["stage"] = "train_bench"
+    config = Config.from_name("pythia-410m")
+    params = gpt.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    config, params, mask, _ = setup_method("lora", config, params, jax.random.PRNGKey(1))
+    optimizer = optim.adamw(optim.warmup_constant(1e-4, 0), weight_decay=0.02)
+    train_step = train.make_train_step(
+        config, optimizer, remat=True, trainable_mask=mask
+    )
+    opt_state = train_step.optimizer.init(params)
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+    rng = np.random.RandomState(0)
+    batch = {
+        k: jnp.asarray(
+            rng.randint(0, config.padded_vocab_size, (4, 1024)), jnp.int32)
+        for k in ("input_ids", "labels")
+    }
+    loss = None
+    for _ in range(3):  # compile + warmup
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+    steps = 12
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+    float(loss)  # barrier
+    dt = time.perf_counter() - t0
+    emit_extra(
+        "pythia-410m LoRA train throughput (seq 1024, batch 4)",
+        steps * 4 * 1024 / dt, "tok/s",
+    )
+
+
 def early_wedge_watchdog(deadline_s: float = 150.0) -> None:
     """A wedged device hangs backend init indefinitely; burning the whole
     child budget on it starves later (post-recovery) attempts. If we are
@@ -338,6 +381,14 @@ def main() -> None:
         bench_serving_ttft(config, params, jnp.int8 if mode != "bf16-3b" else jnp.bfloat16)
     except Exception as e:  # noqa: BLE001 — report, don't die
         emit_extra("serving_ttft_error", 0.0, str(e)[:120])
+    # third metric: training throughput (decode weights freed first — the
+    # params/cache above are donated or droppable; the train program is its
+    # own 2.3 GB world)
+    try:
+        del params
+        bench_train_metric()
+    except Exception as e:  # noqa: BLE001
+        emit_extra("train_bench_error", 0.0, str(e)[:120])
 
 
 if __name__ == "__main__":

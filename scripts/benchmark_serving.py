@@ -42,6 +42,12 @@ def main(
     burst: int = 1,
     sync_admission: bool = False,
     int4_kernel: Optional[str] = None,
+    paged_kv: bool = False,
+    page_size: int = 64,
+    total_pages: Optional[int] = None,
+    slo_sweep: bool = False,
+    slo_tok_s: float = 100.0,
+    slots_list: str = "1,2,4,8,16",
 ) -> None:
     """Benchmarks the serving path.
 
@@ -69,6 +75,15 @@ def main(
         int4_kernel: int4 decode kernel: 2dot-f32 (default), grouped,
             2dot, or w8a8 (fastest; activation-int8 numerics).
             See ops/pallas_quant.set_int4_variant.
+        paged_kv: (continuous) use the block-paged KV pool instead of
+            contiguous slot rows (models/paged_kv.py).
+        page_size: (paged) tokens per page.
+        total_pages: (paged) pool size; default = contiguous-equivalent.
+        slo_sweep: sweep slot counts under saturated load and report the max
+            slots sustaining per-stream p50 >= --slo_tok_s — the measured
+            slots-vs-per-stream-latency curve (VERDICT r3 #9).
+        slo_tok_s: per-stream p50 SLO target for the sweep.
+        slots_list: comma-separated slot counts for the sweep.
     """
     import jax
     import jax.numpy as jnp
@@ -98,6 +113,28 @@ def main(
             params = gpt.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
     cache_dtype = jnp.int8 if kv_cache == "int8" else jnp.bfloat16
+    paged_kw = dict(paged_kv=paged_kv, page_size=page_size, total_pages=total_pages)
+
+    if slo_sweep:
+        slots_values = [int(v) for v in slots_list.split(",")]
+        rows = []
+        for s in slots_values:
+            row = _run_continuous(
+                config, params, cache_dtype, prompt_length=prompt_length,
+                max_new_tokens=max_new_tokens, slots=s,
+                n_requests=max(n_requests, 3 * s), arrival_interval_ms=0.0,
+                quantize=quantize, kv_cache=kv_cache, seed=seed, burst=burst,
+                sync_admission=sync_admission, **paged_kw,
+            )
+            rows.append(row)
+        ok = [r for r in rows if r["per_stream_tok_s_p50"] >= slo_tok_s]
+        print(json.dumps({
+            "mode": "slo_sweep", "slo_per_stream_tok_s": slo_tok_s,
+            "max_slots_meeting_slo": max((r["slots"] for r in ok), default=0),
+            "aggregate_at_that_point": max(
+                (r["aggregate_tok_s"] for r in ok), default=0),
+        }))
+        return
 
     if continuous:
         _run_continuous(
@@ -105,7 +142,7 @@ def main(
             max_new_tokens=max_new_tokens, slots=batch_size,
             n_requests=n_requests, arrival_interval_ms=arrival_interval_ms,
             quantize=quantize, kv_cache=kv_cache, seed=seed, burst=burst,
-            sync_admission=sync_admission,
+            sync_admission=sync_admission, **paged_kw,
         )
         return
 
@@ -177,7 +214,7 @@ def main(
 def _run_continuous(
     config, params, cache_dtype, *, prompt_length, max_new_tokens, slots,
     n_requests, arrival_interval_ms, quantize, kv_cache, seed, burst=1,
-    sync_admission=False,
+    sync_admission=False, paged_kv=False, page_size=64, total_pages=None,
 ):
     """Concurrent-arrival benchmark over the continuous-batching engine:
     requests arrive on a wall-clock schedule, are admitted into free decode
@@ -197,11 +234,15 @@ def _run_continuous(
         for _ in range(n_requests)
     ]
 
+    S = min(config.block_size, prompt_length + max_new_tokens)
+    if paged_kv and S % page_size:
+        S = -(-S // page_size) * page_size
     eng = ServingEngine(
         params, config, slots=slots, cache_dtype=cache_dtype,
-        max_seq_length=min(config.block_size, prompt_length + max_new_tokens),
+        max_seq_length=S,
         temperature=0.8, top_k=200, rng=jax.random.PRNGKey(seed),
         sync_admission=sync_admission,
+        paged_kv=paged_kv, page_size=page_size, total_pages=total_pages,
     )
     # warmup: compile EVERY prefill bucket the workload can hit plus the
     # decode program — a cold bucket compile mid-run is seconds of fake TTFT
@@ -235,7 +276,7 @@ def _run_continuous(
     per_stream = [
         len(r.produced) / (r.t_done - r.t_submit) for r in requests if r.t_done
     ]
-    print(_json.dumps({
+    row = {
         "mode": "continuous",
         "model": config.name,
         "quantize": quantize,
@@ -245,12 +286,15 @@ def _run_continuous(
         "arrival_interval_ms": arrival_interval_ms,
         "burst": burst,
         "sync_admission": sync_admission,
+        "paged_kv": paged_kv,
         "ttft_p50_ms": round(float(np.percentile(ttfts, 50)), 2),
         "ttft_p90_ms": round(float(np.percentile(ttfts, 90)), 2),
         "aggregate_tok_s": round(total_tokens / t_total, 2),
         "per_stream_tok_s_p50": round(float(np.percentile(per_stream, 50)), 2),
         "device": jax.devices()[0].device_kind,
-    }))
+    }
+    print(_json.dumps(row))
+    return row
 
 
 if __name__ == "__main__":

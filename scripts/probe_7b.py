@@ -89,15 +89,47 @@ def main() -> None:
 
     STATE["stage"] = "init_params"
     params = api.init_quantized_params(config, jax.random.PRNGKey(0), qmode)
-    leaf = params["lm_head"].qw
+
+    # ablations (PROBE7B_ABLATION): name the trigger feature of the failing
+    # "quantized decode program over ~2.5 GB" signature by removing one
+    # component at a time from the otherwise-identical program.
+    ablation = os.environ.get("PROBE7B_ABLATION", "")
+    STATE["ablation"] = ablation
+    cache_dtype = jnp.int8
+    temperature, top_k = 0.8, 200
+    if ablation == "greedy":  # no top-k sort / categorical
+        temperature, top_k = 0.0, None
+    elif ablation == "bf16kv":  # no int8 KV quantize/scale machinery
+        cache_dtype = jnp.bfloat16
+    elif ablation == "smallhead":  # quantized lm_head (the largest single
+        # kernel, K=n_embd x V~65k) replaced by a tiny bf16 dense head
+        params["lm_head"] = {
+            "w": jax.random.normal(
+                jax.random.PRNGKey(9), (config.n_embd, 256), jnp.bfloat16
+            ) * 0.02
+        }
+        config = config.replace(vocab_size=256, padded_vocab_size=256)
+        params["wte"] = {"weight": jax.random.normal(
+            jax.random.PRNGKey(10), (256, config.n_embd), jnp.bfloat16) * 0.02}
+    elif ablation == "bf16head":  # lm_head dense bf16 at FULL vocab
+        params["lm_head"] = {
+            "w": jax.random.normal(
+                jax.random.PRNGKey(9),
+                (config.n_embd, config.padded_vocab_size), jnp.bfloat16,
+            ) * 0.02
+        }
+
+    leaf = jax.tree.leaves(params)[0]
     jax.block_until_ready(leaf)
     resident = sum(
         a.nbytes for a in jax.tree.leaves(params) if hasattr(a, "nbytes")
     )
     STATE["resident_gb"] = round(resident / 2**30, 2)
 
-    cache = gpt.KVCache.init(config, 1, 512, dtype=jnp.int8)
-    step = functools.partial(_decode_step, config=config, temperature=0.8, top_k=200)
+    cache = gpt.KVCache.init(config, 1, 512, dtype=cache_dtype)
+    step = functools.partial(
+        _decode_step, config=config, temperature=temperature, top_k=top_k
+    )
 
     tok = jnp.asarray(1, jnp.int32)
     rng = jax.random.PRNGKey(0)
