@@ -1,0 +1,181 @@
+"""Residency-capped decode: stream layer chunks from host RAM (VERDICT r3 #1c).
+
+The relay backend rejects quantized decode programs whose packed weights
+exceed ~2.5 GB resident (PERF.md round-4 bisect), which blocks every direct
+7B-class decode. This executor decodes such models anyway by capping what is
+resident:
+
+- the embedding, head, and the first ``resident_layers`` layers live on the
+  device permanently;
+- the remaining layers' packed weights live in **host RAM** and are streamed
+  through a small device arena ``chunk_layers`` at a time, each chunk freed
+  after its program runs (peak quantized residency = resident set + one
+  chunk);
+- three jitted programs total, independent of depth: embed+resident-scan,
+  a chunk scan (same shapes for every chunk — weights are just arguments),
+  and norm+head+sample.
+
+Throughput is host-bandwidth-bound: ~(streamed bytes / H2D GB/s) per token
+(measured 1.2 GB/s through the relay → ~0.7 tok/s for falcon-7b int4 with 16
+resident layers). That is the cost of the workaround, not the design — on a
+healthy backend the fused engine decodes the same model at hundreds of tok/s.
+The reference ships the same tradeoff shape as FSDP CPU-offload inference at
+0.12 tok/s (``tutorials/inference.md:54``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import Config
+from parrot_tpu.models import gpt
+from parrot_tpu.models.gpt import KVCache
+from parrot_tpu.models.norms import apply_norm
+from parrot_tpu.ops.linear import apply_linear
+from parrot_tpu.ops.sampling import sample
+from parrot_tpu.quantize.formats import QuantizedLinear
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "prefill"), donate_argnums=(2,)
+)
+def _embed_resident(params_head, blocks_resident, cache, idx, pos, *, config,
+                    prefill=False):
+    x = jnp.take(params_head["wte"]["weight"], idx, axis=0)
+    if jax.tree.leaves(blocks_resident):
+        x, cache = gpt.forward_layers_cached(
+            blocks_resident, config, x, cache, pos, layer_offset=0,
+            prefill=prefill,
+        )
+    return x, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "layer_offset", "prefill"),
+    donate_argnums=(1,),
+)
+def _chunk(blocks_chunk, cache, x, pos, *, config, layer_offset, prefill=False):
+    return gpt.forward_layers_cached(
+        blocks_chunk, config, x, cache, pos, layer_offset=layer_offset,
+        prefill=prefill,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "temperature", "top_k"))
+def _head(params_head, x, rng, *, config, temperature, top_k):
+    x = apply_norm(params_head["ln_f"], x, config.norm_class, config.norm_eps)
+    logits = apply_linear(params_head["lm_head"], x[:, -1])
+    return sample(rng, logits[0], temperature, top_k, None)
+
+
+def _tree_slice_layers(tree, lo, hi, to_numpy=False):
+    """Slice the leading stacked-layer axis of a blocks subtree."""
+    def f(a):
+        out = a[lo:hi]
+        return np.asarray(out) if to_numpy else out
+
+    return _map_qlin(tree, f)
+
+
+def _map_qlin(tree, f):
+    if isinstance(tree, QuantizedLinear):
+        return tree.replace(**{
+            k: (None if getattr(tree, k) is None else f(getattr(tree, k)))
+            for k in ("qw", "scales", "zeros", "scales2", "b")
+        })
+    if isinstance(tree, dict):
+        return {k: _map_qlin(v, f) for k, v in tree.items()}
+    return f(tree)
+
+
+class SwapDecoder:
+    """Greedy/sampled single-stream decode with host-staged layer chunks."""
+
+    def __init__(
+        self,
+        params,  # full param tree (device or host arrays)
+        config: Config,
+        *,
+        resident_layers: int = 16,
+        chunk_layers: int = 4,
+        max_seq_length: int = 512,
+        cache_dtype: jnp.dtype = jnp.int8,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+    ):
+        L = config.n_layer
+        if resident_layers > L:
+            resident_layers = L
+        n_streamed = L - resident_layers
+        if n_streamed % chunk_layers:
+            raise ValueError(
+                f"streamed layers {n_streamed} not divisible by chunk_layers "
+                f"{chunk_layers}"
+            )
+        self.config = config
+        self.R, self.C = resident_layers, chunk_layers
+        self.S = max_seq_length
+        self.sampling = dict(temperature=temperature, top_k=top_k)
+
+        blocks = params["blocks"]
+        # head + resident layers go to the device ONCE (a numpy leaf left in
+        # a jitted arg would be re-uploaded every call)
+        put = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a) if isinstance(a, np.ndarray) else a, t
+        )
+        self.head = put({k: params[k] for k in ("wte", "ln_f", "lm_head")})
+        self.resident = put(_tree_slice_layers(blocks, 0, self.R))
+        # streamed chunks stay in HOST RAM (numpy) until their turn
+        self.host_chunks = [
+            _tree_slice_layers(blocks, lo, lo + self.C, to_numpy=True)
+            for lo in range(self.R, L, self.C)
+        ]
+        # per-segment KV caches (tiny next to the weights); resident always
+        full = KVCache.init(config, 1, self.S, dtype=cache_dtype)
+        self.cache_resident = jax.tree.map(lambda a: a[: self.R], full)
+        self.cache_chunks = [
+            jax.tree.map(lambda a, lo=lo: a[lo : lo + self.C], full)
+            for lo in range(self.R, L, self.C)
+        ]
+
+    def _run(self, idx: jnp.ndarray, pos: jnp.ndarray, rng, prefill=False):
+        x, self.cache_resident = _embed_resident(
+            self.head, self.resident, self.cache_resident, idx, pos,
+            config=self.config, prefill=prefill,
+        )
+        for i, host_chunk in enumerate(self.host_chunks):
+            dev_chunk = jax.tree.map(
+                jax.device_put, host_chunk,
+                is_leaf=lambda a: isinstance(a, np.ndarray),
+            )
+            x, self.cache_chunks[i] = _chunk(
+                dev_chunk, self.cache_chunks[i], x, pos,
+                config=self.config, layer_offset=self.R + i * self.C,
+                prefill=prefill,
+            )
+            x.block_until_ready()  # arena discipline: chunk consumed...
+            for leaf in jax.tree.leaves(dev_chunk):
+                leaf.delete()  # ...before the next chunk lands
+        return _head(self.head, x, rng, config=self.config, **self.sampling)
+
+    def generate(self, prompt, max_new_tokens: int, rng=None) -> list[int]:
+        """Prefill the prompt, then decode ``max_new_tokens`` tokens."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        prompt = jnp.asarray(prompt, jnp.int32)
+        T = int(prompt.shape[0])
+        rng, r = jax.random.split(rng)
+        tok = self._run(prompt[None], jnp.asarray(0, jnp.int32), r, prefill=True)
+        out = [int(tok)]
+        for step in range(max_new_tokens - 1):
+            rng, r = jax.random.split(rng)
+            tok = self._run(
+                tok[None, None], jnp.asarray(T + step, jnp.int32), r
+            )
+            out.append(int(tok))
+        return out

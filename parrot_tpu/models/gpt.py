@@ -648,6 +648,68 @@ def forward_cached(
     return logits, new_cache
 
 
+def forward_layers_cached(
+    blocks: Params,
+    config: Config,
+    x: jnp.ndarray,  # [B, T, D] — already embedded hidden states
+    cache: KVCache,  # covering exactly these layers: [L', B, S, ...]
+    input_pos: jnp.ndarray,  # scalar int32
+    *,
+    layer_offset: int = 0,
+    prefill: bool = False,
+) -> tuple[jnp.ndarray, KVCache]:
+    """The block-scan middle of :func:`forward_cached` over a SLICE of layers
+    (``blocks`` holds a stacked ``[L', ...]`` subtree; ``layer_offset`` is its
+    absolute first layer id). Embedding and head are the caller's — this is
+    the building block of the residency-capped swap executor
+    (:mod:`parrot_tpu.generate.swap`), which streams layer chunks through a
+    small device arena when a model's quantized weights exceed what the
+    backend lets a single decode program hold resident."""
+    B, T, _ = x.shape
+    S = cache.max_seq_length
+    L = jax.tree.leaves(blocks)[0].shape[0]
+
+    cos_t, sin_t = _rope_tables(config, x.dtype)
+    positions = input_pos + jnp.arange(T)
+    cos = jnp.take(cos_t, positions, axis=0)
+    sin = jnp.take(sin_t, positions, axis=0)
+
+    slots = jnp.arange(S)[None, :]
+    visible = (slots <= positions[:, None]) | (positions[:, None] >= S)
+    mask = jnp.broadcast_to(visible[None], (B, T, S))
+    slot = jnp.where(input_pos >= S, input_pos % S, input_pos)
+
+    layer_ids = layer_offset + jnp.arange(L)
+    rest, qmap = _split_qlin(blocks)
+    if cache.quantized:
+        def step(x, layer):
+            rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
+            p_layer = _merge_qlin(rest_l, qmap, layer_id - layer_offset)
+            x, new_kv = block_forward(
+                p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
+                slot=slot, mask=mask, layer_id=layer_id, prefill=prefill,
+            )
+            return x, new_kv
+
+        x, (nk, nv, nks, nvs) = lax.scan(
+            step, x,
+            (rest, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        )
+        return x, KVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
+
+    def step(x, layer):
+        rest_l, layer_id, k_l, v_l = layer
+        p_layer = _merge_qlin(rest_l, qmap, layer_id - layer_offset)
+        x, new_kv = block_forward(
+            p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
+            layer_id=layer_id, prefill=prefill,
+        )
+        return x, new_kv
+
+    x, (nk, nv) = lax.scan(step, x, (rest, layer_ids, cache.k, cache.v))
+    return x, KVCache(k=nk, v=nv)
+
+
 def forward_decode_batched(
     params: Params,
     config: Config,

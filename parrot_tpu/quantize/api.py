@@ -170,6 +170,72 @@ def init_quantized_params(
     }
 
 
+def init_quantized_params_host(
+    config: Config, mode: str = "gptq.int4", seed: int = 0
+) -> dict:
+    """Host-RAM (numpy) variant of :func:`init_quantized_params` for the
+    residency-capped swap executor: the packed tree must exist WITHOUT ever
+    being device-resident (the point is that it doesn't fit the backend's
+    quantized-residency budget)."""
+    from parrot_tpu.quantize.formats import K_ALIGN, N_ALIGN, _round_up
+
+    if mode not in ("gptq.int4", "bnb.int8"):
+        raise NotImplementedError(mode)
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    L, D, I, V = config.n_layer, config.n_embd, config.intermediate_size, config.padded_vocab_size
+
+    def q_linear(k, n, stack=None):
+        kp, np_ = _round_up(k, K_ALIGN), _round_up(n, N_ALIGN)
+        prefix = (stack,) if stack else ()
+        if mode == "gptq.int4":
+            return formats.QuantizedLinear(
+                qw=rng.randint(0, 256, prefix + (kp // 2, np_), dtype=np.uint8),
+                scales=rng.uniform(1e-3, 1e-2, prefix + (1, np_)).astype(np.float32),
+                zeros=np.full(prefix + (1, np_), 8.0, np.float32),
+                fmt="int4", group_size=-1, in_features=k, out_features=n,
+            )
+        return formats.QuantizedLinear(
+            qw=rng.randint(-127, 128, prefix + (kp, np_)).astype(np.int8),
+            scales=rng.uniform(1e-4, 1e-3, prefix + (np_,)).astype(np.float32),
+            fmt="int8", group_size=-1, in_features=k, out_features=n,
+        )
+
+    def norm(stacked=True):
+        shape = (L, D) if stacked else (D,)
+        p = {"scale": np.ones(shape, np.float32)}
+        if config.norm_class == "LayerNorm":
+            p["bias"] = np.zeros(shape, np.float32)
+        return p
+
+    blocks = {
+        "norm_1": norm(),
+        "attn": {
+            "qkv": q_linear(D, config.qkv_out_size, stack=L),
+            "proj": q_linear(D, D, stack=L),
+        },
+    }
+    if not config.shared_attention_norm:
+        blocks["norm_2"] = norm()
+    if config.mlp_class == "LLaMAMLP":
+        blocks["mlp"] = {
+            "fc_1": q_linear(D, I, stack=L),
+            "fc_2": q_linear(D, I, stack=L),
+            "proj": q_linear(I, D, stack=L),
+        }
+    else:
+        blocks["mlp"] = {"fc": q_linear(D, I, stack=L), "proj": q_linear(I, D, stack=L)}
+    import ml_dtypes  # ships with jax
+
+    return {
+        "wte": {"weight": (rng.randn(V, D) * 0.02).astype(ml_dtypes.bfloat16)},
+        "blocks": blocks,
+        "ln_f": norm(stacked=False),
+        "lm_head": q_linear(D, V),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Blockwise GPTQ calibration
 # ---------------------------------------------------------------------------
