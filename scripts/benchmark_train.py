@@ -41,7 +41,21 @@ def main(
     remat: bool = True,
     block_size: Optional[int] = None,
     lm_head_chunk_size: int = 0,
+    watchdog_s: float = 0.0,
 ) -> dict:
+    if watchdog_s:
+        # the relay can hang a process indefinitely (stale claim / hung
+        # compile); never kill it from outside — bound it from inside
+        import os
+        import threading
+
+        def _die():
+            time.sleep(watchdog_s)
+            print(json.dumps({"error": "watchdog", "model": model}), flush=True)
+            os._exit(0)
+
+        threading.Thread(target=_die, daemon=True).start()
+
     from parrot_tpu.config import Config
     from parrot_tpu.models import gpt
     from parrot_tpu.training import optim, train
