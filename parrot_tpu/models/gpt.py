@@ -593,7 +593,30 @@ def forward_cached(
     causal path); decode calls it with one token per step. Once
     ``input_pos >= S`` the cache behaves as a rolling window over the last
     ``S`` tokens (reference: ``model.py:238-242``).
+
+    ``params["blocks"]`` may be a tuple of stacked sub-trees (see
+    :func:`segment_blocks`): each segment scans separately, capping the size
+    of any single stacked weight buffer / scan carry — the full-speed
+    workaround for backends that reject large stacked decode programs
+    (PERF.md round 4) and a knob for scan-carry memory in general.
     """
+    if isinstance(params["blocks"], (list, tuple)):
+        x = jnp.take(params["wte"]["weight"], idx, axis=0)
+        off = 0
+        parts = []
+        for seg_tree in params["blocks"]:
+            Lseg = jax.tree.leaves(seg_tree)[0].shape[0]
+            cache_seg = jax.tree.map(lambda a, o=off, n=Lseg: a[o : o + n], cache)
+            x, cache_seg = forward_layers_cached(
+                seg_tree, config, x, cache_seg, input_pos, layer_offset=off,
+                prefill=prefill,
+            )
+            parts.append(cache_seg)
+            off += Lseg
+        new_cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
+        logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
+        return logits, new_cache
     B, T = idx.shape
     S = cache.max_seq_length
     x = jnp.take(params["wte"]["weight"], idx, axis=0)
@@ -646,6 +669,26 @@ def forward_cached(
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
     return logits, new_cache
+
+
+def segment_blocks(params: Params, max_layers: int) -> Params:
+    """Split ``params["blocks"]`` into a tuple of stacked sub-trees of at most
+    ``max_layers`` layers each (consumed by :func:`forward_cached`). Shallow:
+    segments are slices (copies) of the stacked arrays."""
+    blocks = params["blocks"]
+    if isinstance(blocks, (list, tuple)):
+        return params
+    L = jax.tree.leaves(blocks)[0].shape[0]
+    if L <= max_layers:
+        return params
+    from parrot_tpu.generate.swap import _tree_slice_layers
+
+    out = dict(params)
+    out["blocks"] = tuple(
+        _tree_slice_layers(blocks, lo, min(lo + max_layers, L))
+        for lo in range(0, L, max_layers)
+    )
+    return out
 
 
 def forward_layers_cached(

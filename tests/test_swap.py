@@ -69,3 +69,18 @@ def test_swap_decoder_zero_resident():
         cache_dtype=jnp.float32, temperature=0.0,
     )
     assert dec.generate(prompt, 6) == want
+
+
+def test_segmented_blocks_generate_parity():
+    """engine.generate with blocks split into stacked segments
+    (gpt.segment_blocks) must produce identical greedy tokens."""
+    params = gpt.init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    qparams = api.quantize_params(params, CFG, "gptq.int4")
+    prompt = jnp.array([2, 7, 1, 8], jnp.int32)
+    kw = dict(max_returned_tokens=12, temperature=0.0, cache_dtype=jnp.int8)
+    expected, n = engine.generate(qparams, CFG, prompt, jax.random.PRNGKey(0), **kw)
+    seg = gpt.segment_blocks(qparams, max_layers=3)  # 8 layers -> 3+3+2
+    assert isinstance(seg["blocks"], tuple) and len(seg["blocks"]) == 3
+    actual, n2 = engine.generate(seg, CFG, prompt, jax.random.PRNGKey(0), **kw)
+    np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
+    assert int(n) == int(n2)
