@@ -67,6 +67,55 @@ def _chunk(blocks_chunk, cache, x, pos, *, config, layer_offset, prefill=False):
     )
 
 
+def _flatten_chunk(host_chunk):
+    """Pack a host chunk tree into ONE uint8 buffer + a static unpack spec.
+
+    Through the relay every ``device_put`` costs ~0.5-1 s of fixed round-trip
+    overhead regardless of size (measured round 4: ~100 per-array puts made a
+    1.6 s/token transfer budget take 78 s). One coalesced buffer per chunk
+    pays the overhead once and rides the ~1.2 GB/s bulk path."""
+    leaves, treedef = jax.tree.flatten(host_chunk)
+    spec, bufs, off = [], [], 0
+    for a in leaves:
+        a = np.ascontiguousarray(a)
+        spec.append((off, a.nbytes, a.dtype, a.shape))
+        bufs.append(a.view(np.uint8).ravel())
+        off += a.nbytes
+    return np.concatenate(bufs), tuple(spec), treedef
+
+
+def _unflatten_chunk(flat, spec, treedef):
+    """Rebuild the chunk tree from the flat buffer (inside jit; static spec
+    means every slice is static — XLA sees simple bitcasts/reshapes)."""
+    import jax.lax as lax
+
+    leaves = []
+    for off, nbytes, dt, shape in spec:
+        seg = lax.slice(flat, (off,), (off + nbytes,))
+        if dt.itemsize > 1:
+            seg = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, dt.itemsize), jnp.dtype(dt)
+            )
+        else:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt))
+        leaves.append(seg.reshape(shape))
+    return jax.tree.unflatten(treedef, leaves)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "spec", "treedef", "layer_offset", "prefill"),
+    donate_argnums=(1,),
+)
+def _chunk_flat(flat, cache, x, pos, *, config, spec, treedef, layer_offset,
+                prefill=False):
+    blocks_chunk = _unflatten_chunk(flat, spec, treedef)
+    return gpt.forward_layers_cached(
+        blocks_chunk, config, x, cache, pos, layer_offset=layer_offset,
+        prefill=prefill,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config", "temperature", "top_k"))
 def _head(params_head, x, rng, *, config, temperature, top_k):
     x = apply_norm(params_head["ln_f"], x, config.norm_class, config.norm_eps)
@@ -108,7 +157,12 @@ class SwapDecoder:
         cache_dtype: jnp.dtype = jnp.int8,
         temperature: float = 0.0,
         top_k: Optional[int] = None,
+        prefetch: bool = False,
     ):
+        """``prefetch``: upload chunk i+1 on a worker thread while chunk i
+        executes — overlaps H2D with compute at the cost of one extra chunk
+        resident (size the chunks so resident + 2*chunk stays under the
+        backend's cap)."""
         L = config.n_layer
         if resident_layers > L:
             resident_layers = L
@@ -122,6 +176,11 @@ class SwapDecoder:
         self.R, self.C = resident_layers, chunk_layers
         self.S = max_seq_length
         self.sampling = dict(temperature=temperature, top_k=top_k)
+        self.prefetch = prefetch
+        if prefetch:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
 
         blocks = params["blocks"]
         # head + resident layers go to the device ONCE (a numpy leaf left in
@@ -131,11 +190,16 @@ class SwapDecoder:
         )
         self.head = put({k: params[k] for k in ("wte", "ln_f", "lm_head")})
         self.resident = put(_tree_slice_layers(blocks, 0, self.R))
-        # streamed chunks stay in HOST RAM (numpy) until their turn
-        self.host_chunks = [
-            _tree_slice_layers(blocks, lo, lo + self.C, to_numpy=True)
-            for lo in range(self.R, L, self.C)
-        ]
+        # streamed chunks stay in HOST RAM (numpy) until their turn, each
+        # coalesced into ONE flat buffer (one device_put per chunk per token)
+        self.host_chunks = []
+        self.chunk_specs = []
+        for lo in range(self.R, L, self.C):
+            flat, spec, treedef = _flatten_chunk(
+                _tree_slice_layers(blocks, lo, lo + self.C, to_numpy=True)
+            )
+            self.host_chunks.append(flat)
+            self.chunk_specs.append((spec, treedef))
         # per-segment KV caches (tiny next to the weights); resident always
         full = KVCache.init(config, 1, self.S, dtype=cache_dtype)
         self.cache_resident = jax.tree.map(lambda a: a[: self.R], full)
@@ -149,19 +213,22 @@ class SwapDecoder:
             self.head, self.resident, self.cache_resident, idx, pos,
             config=self.config, prefill=prefill,
         )
-        for i, host_chunk in enumerate(self.host_chunks):
-            dev_chunk = jax.tree.map(
-                jax.device_put, host_chunk,
-                is_leaf=lambda a: isinstance(a, np.ndarray),
-            )
-            x, self.cache_chunks[i] = _chunk(
-                dev_chunk, self.cache_chunks[i], x, pos,
-                config=self.config, layer_offset=self.R + i * self.C,
-                prefill=prefill,
+        pending = None
+        for i, flat in enumerate(self.host_chunks):
+            spec, treedef = self.chunk_specs[i]
+            dev_flat = pending.result() if pending is not None else jax.device_put(flat)
+            pending = None
+            if self.prefetch and i + 1 < len(self.host_chunks):
+                pending = self._pool.submit(
+                    jax.device_put, self.host_chunks[i + 1]
+                )
+            x, self.cache_chunks[i] = _chunk_flat(
+                dev_flat, self.cache_chunks[i], x, pos,
+                config=self.config, spec=spec, treedef=treedef,
+                layer_offset=self.R + i * self.C, prefill=prefill,
             )
             x.block_until_ready()  # arena discipline: chunk consumed...
-            for leaf in jax.tree.leaves(dev_chunk):
-                leaf.delete()  # ...before the next chunk lands
+            dev_flat.delete()  # ...before the next chunk lands
         return _head(self.head, x, rng, config=self.config, **self.sampling)
 
     def generate(self, prompt, max_new_tokens: int, rng=None) -> list[int]:

@@ -84,3 +84,14 @@ def test_segmented_blocks_generate_parity():
     actual, n2 = engine.generate(seg, CFG, prompt, jax.random.PRNGKey(0), **kw)
     np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
     assert int(n) == int(n2)
+
+
+def test_swap_decoder_prefetch_parity():
+    params = gpt.init_params(CFG, jax.random.PRNGKey(4))
+    prompt = [4, 2]
+    want = _reference(params, prompt, 6, jnp.float32)
+    dec = SwapDecoder(
+        params, CFG, resident_layers=2, chunk_layers=2, max_seq_length=32,
+        cache_dtype=jnp.float32, temperature=0.0, prefetch=True,
+    )
+    assert dec.generate(prompt, 6) == want
