@@ -68,11 +68,12 @@ def train_lm(config, corpus, *, steps, batch, seq, lr, seed, log_label, dtype,
     rng = np.random.RandomState(seed)
     loss = None
     snapshots = {}
+    seq = min(seq, corpus.shape[-1] - 2)  # a window must fit the corpus rows
     t0 = time.perf_counter()
     for it in range(steps):
         if it in snapshot_at:
             snapshots[it] = jax.tree.map(lambda a: a.copy(), params)
-        ix = rng.randint(0, corpus.shape[-1] - seq - 1, size=batch)
+        ix = rng.randint(0, max(1, corpus.shape[-1] - seq - 1), size=batch)
         if corpus.ndim == 1:
             toks = np.stack([corpus[i : i + seq] for i in ix])
         else:  # distill set: sample rows, then a window
