@@ -24,6 +24,19 @@ os.makedirs(wd / ".jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(wd / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+if os.environ.get("SERVE_BENCH_BUDGET_S"):
+    # the relay can hang a process indefinitely; bound from inside (killing
+    # a TPU process from outside wedges the device)
+    import threading
+
+    def _watchdog():
+        time.sleep(float(os.environ["SERVE_BENCH_BUDGET_S"]))
+        print(json.dumps({"error": "watchdog", "mode": "serving_bench"}),
+              flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
 
 def main(
     checkpoint_dir: Optional[Path] = None,
