@@ -147,6 +147,7 @@ import jax.numpy as jnp
 
 # shared progress state the watchdog reads; only ever mutated by the main
 # thread between device barriers
+T_MAIN_START = time.monotonic()
 STATE = {"printed": False, "stage": "import", "steps": 0, "t0": None, "t_last": None,
          "metric": "bench", "baseline": 1.0}
 LOCK = threading.Lock()
@@ -254,6 +255,40 @@ def bench_train_metric() -> None:
     )
 
 
+def bench_swap_7b_metric() -> None:
+    """7B-class metric line: falcon-7b gptq.int4 + INT8 KV decoded through
+    the residency-capped swap executor (generate/swap.py) — the relay rejects
+    any direct decode program whose stacked block weights exceed ~1.7 GB
+    (PERF.md round-4 bisect), so the 7B number rides host-staged chunks.
+    Slow by construction (host-bandwidth-bound); the value is that a 7B
+    decode LANDS at all. Reference: 6.48 tok/s, A100-40GB
+    (tutorials/quantize.md:127-128)."""
+    import numpy as np
+
+    from parrot_tpu.config import Config
+    from parrot_tpu.generate.swap import SwapDecoder
+    from parrot_tpu.quantize import api
+
+    STATE["stage"] = "swap_7b"
+    config = Config.from_name("falcon-7b")
+    params = api.init_quantized_params_host(config, "gptq.int4")
+    dec = SwapDecoder(
+        params, config, resident_layers=12, chunk_layers=5,
+        max_seq_length=512, cache_dtype=jnp.int8, temperature=0.0,
+    )
+    prompt = np.arange(1, 17, dtype=np.int32)
+    dec.generate(prompt, 2)  # compiles (persistent-cached) + warmup
+    n = 4
+    t0 = time.perf_counter()
+    dec.generate(prompt, n)
+    dt = time.perf_counter() - t0
+    emit_extra(
+        "falcon-7b gptq.int4+int8KV decode tok/s via residency-capped swap "
+        "executor (relay blocks-cap workaround; ref 6.48 on A100)",
+        n / dt, "tok/s",
+    )
+
+
 def early_wedge_watchdog(deadline_s: float = 150.0) -> None:
     """A wedged device hangs backend init indefinitely; burning the whole
     child budget on it starves later (post-recovery) attempts. If we are
@@ -329,6 +364,8 @@ def bench_decode(config, params, cache_dtype, n_steps: int = 128) -> float:
 
 
 def main() -> None:
+    global T_MAIN_START
+    T_MAIN_START = time.monotonic()
     threading.Thread(
         target=watchdog,
         args=(float(os.environ.get("BENCH_BUDGET_S", "1380")),),
@@ -389,6 +426,15 @@ def main() -> None:
         bench_train_metric()
     except Exception as e:  # noqa: BLE001
         emit_extra("train_bench_error", 0.0, str(e)[:120])
+    # fourth metric: a 7B-class decode via the swap executor, only when the
+    # watchdog budget clearly allows (cold swap compiles take ~10 min; warm
+    # persistent-cached runs ~2)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+    if budget - (time.monotonic() - T_MAIN_START) > 420:
+        try:
+            bench_swap_7b_metric()
+        except Exception as e:  # noqa: BLE001
+            emit_extra("swap_7b_error", 0.0, str(e)[:120])
 
 
 if __name__ == "__main__":
