@@ -27,6 +27,9 @@ def main(
     seed: int = 1234,
     profile: Optional[Path] = None,
     int4_kernel: Optional[str] = None,
+    segment_layers: Optional[int] = None,
+    swap_resident_layers: Optional[int] = None,
+    swap_chunk_layers: int = 4,
 ) -> None:
     """Generates text samples based on a pre-trained model and tokenizer.
 
@@ -53,6 +56,15 @@ def main(
         seed: Random seed for sampling.
         profile: Write a jax.profiler trace of the generation into this
             directory (view with tensorboard/xprof).
+        segment_layers: Split the stacked layer weights into segments of at
+            most this many layers (caps the size of any single stacked
+            buffer/scan carry; full speed — see gpt.segment_blocks).
+        swap_resident_layers: Decode through the residency-capped swap
+            executor (generate/swap.py): keep this many layers on device and
+            stream the rest from host RAM per token. For models whose packed
+            weights exceed the backend's residency budget; slow
+            (host-bandwidth-bound) but runs anything that fits host RAM.
+        swap_chunk_layers: Swap-executor arena chunk size.
     """
     import jax
     import jax.numpy as jnp
@@ -91,6 +103,36 @@ def main(
 
     cache_dtype = jnp.int8 if kv_cache == "int8" else jnp.bfloat16
     rng = jax.random.PRNGKey(seed)
+
+    if segment_layers is not None:
+        from parrot_tpu.models import gpt as gpt_lib
+
+        params = gpt_lib.segment_blocks(params, segment_layers)
+
+    if swap_resident_layers is not None:
+        from parrot_tpu.generate.swap import SwapDecoder
+
+        dec = SwapDecoder(
+            params, config, resident_layers=swap_resident_layers,
+            chunk_layers=swap_chunk_layers,
+            max_seq_length=max_returned_tokens, cache_dtype=cache_dtype,
+            temperature=temperature, top_k=top_k if temperature else None,
+        )
+        with profile_trace(profile):
+            for i in range(num_samples):
+                t0 = time.perf_counter()
+                out = dec.generate(encoded, max_new_tokens)
+                t = time.perf_counter() - t0
+                print(tokenizer.decode(jnp.asarray(list(encoded) + out, jnp.int32)))
+                print(
+                    f"Time for inference {i + 1}: {t:.02f} sec total,"
+                    f" {len(out) / t:.02f} tokens/sec",
+                    file=sys.stderr,
+                )
+        if (report := device_memory_report()) is not None:
+            print(report, file=sys.stderr)
+        return
+
     with profile_trace(profile):
         for i in range(num_samples):
             rng, sample_rng = jax.random.split(rng)

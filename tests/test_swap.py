@@ -95,3 +95,31 @@ def test_swap_decoder_prefetch_parity():
         cache_dtype=jnp.float32, temperature=0.0, prefetch=True,
     )
     assert dec.generate(prompt, 6) == want
+
+
+def test_generate_cli_swap_and_segment(tmp_path, capsys):
+    """scripts/generate.py --swap_resident_layers / --segment_layers run end
+    to end on a tiny checkpoint."""
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).parent.parent / "scripts"))
+    from helpers import make_checkpoint
+
+    import generate as generate_script
+
+    checkpoint_dir, _ = make_checkpoint(tmp_path)
+    generate_script.main(
+        prompt="Hi", num_samples=1, max_new_tokens=6,
+        checkpoint_dir=checkpoint_dir, precision="32-true", temperature=0.0,
+        swap_resident_layers=1, swap_chunk_layers=1, kv_cache="int8",
+    )
+    out, err = capsys.readouterr()
+    assert "tokens/sec" in err
+    generate_script.main(
+        prompt="Hi", num_samples=1, max_new_tokens=6,
+        checkpoint_dir=checkpoint_dir, precision="32-true", temperature=0.0,
+        segment_layers=1,
+    )
+    out, err = capsys.readouterr()
+    assert "tokens/sec" in err
