@@ -60,10 +60,12 @@ def main():
     results = {}
     for burst in (1, 8, 16):
         STATE["stage"] = f"burst{burst}_warmup"
-        # warm: full stream once (compiles prefill bucket + decode/burst)
+        # warm with the SAME budget (hence same cache bucket/programs) as the
+        # timed stream — a different bucket would push prefill+decode
+        # compiles into the timed loop
         list(engine.generate_stream(
             params, config, prompt, jax.random.PRNGKey(1),
-            max_returned_tokens=32 + 16, temperature=0.8, top_k=200,
+            max_returned_tokens=32 + n_tok, temperature=0.8, top_k=200,
             cache_dtype=jnp.int8, burst=burst,
         ))
         STATE["stage"] = f"burst{burst}_timed"
