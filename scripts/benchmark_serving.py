@@ -140,9 +140,9 @@ def main(
                 sync_admission=sync_admission, **paged_kw,
             )
             rows.append(row)
-        ok = [r for r in rows if r["per_stream_tok_s_p50"] >= slo_tok_s]
+        ok = [r for r in rows if (r["decode_tok_s_p50"] or 0) >= slo_tok_s]
         print(json.dumps({
-            "mode": "slo_sweep", "slo_per_stream_tok_s": slo_tok_s,
+            "mode": "slo_sweep", "slo_decode_tok_s": slo_tok_s,
             "max_slots_meeting_slo": max((r["slots"] for r in ok), default=0),
             "aggregate_at_that_point": max(
                 (r["aggregate_tok_s"] for r in ok), default=0),
@@ -289,6 +289,14 @@ def _run_continuous(
     per_stream = [
         len(r.produced) / (r.t_done - r.t_submit) for r in requests if r.t_done
     ]
+    # decode-phase rate (first token -> done): the in-flight service speed a
+    # per-stream SLO constrains, independent of queueing delay
+    decode_rate = [
+        (len(r.produced) - 1) / (r.t_done - r.t_first_token)
+        for r in requests
+        if r.t_done and r.t_first_token and r.t_done > r.t_first_token
+        and len(r.produced) > 1
+    ]
     row = {
         "mode": "continuous",
         "model": config.name,
@@ -304,6 +312,8 @@ def _run_continuous(
         "ttft_p90_ms": round(float(np.percentile(ttfts, 90)), 2),
         "aggregate_tok_s": round(total_tokens / t_total, 2),
         "per_stream_tok_s_p50": round(float(np.percentile(per_stream, 50)), 2),
+        "decode_tok_s_p50": round(float(np.percentile(decode_rate, 50)), 2)
+        if decode_rate else None,
         "device": jax.devices()[0].device_kind,
     }
     print(_json.dumps(row))
