@@ -104,6 +104,8 @@ def main(
     distill_seqs: int = 32,
     distill_len: int = 512,
     distill_temperature: float = 0.8,
+    distill_batch: int = 0,  # 0 = all at once; >0 bounds the sampling
+    # program's KV-cache footprint (big targets OOM at batch 96)
     seq: int = 256,
     batch: int = 8,
     k: int = 4,
@@ -149,12 +151,19 @@ def main(
         for i in np_rng.randint(0, corpus_len - 33, size=distill_seqs)
     ])
     t0 = time.perf_counter()
-    toks, lengths = engine.generate_batch(
-        params, config, jnp.asarray(prompts), jnp.full((distill_seqs,), 32, jnp.int32),
-        jax.random.PRNGKey(11), max_returned_tokens=distill_len,
-        temperature=distill_temperature, cache_dtype=dtype,
-    )
-    distill = np.asarray(toks)
+    group = distill_batch or distill_seqs
+    parts = []
+    for g0 in range(0, distill_seqs, group):
+        chunk = prompts[g0 : g0 + group]
+        toks, _ = engine.generate_batch(
+            params, config, jnp.asarray(chunk),
+            jnp.full((chunk.shape[0],), 32, jnp.int32),
+            jax.random.fold_in(jax.random.PRNGKey(11), g0),
+            max_returned_tokens=distill_len,
+            temperature=distill_temperature, cache_dtype=dtype,
+        )
+        parts.append(np.asarray(toks))
+    distill = np.concatenate(parts, axis=0)
     print(json.dumps({
         "phase": "sample distill set", "seqs": int(distill_seqs),
         "len": int(distill_len), "seconds": round(time.perf_counter() - t0, 1),
