@@ -272,13 +272,14 @@ def bench_swap_7b_metric() -> None:
     STATE["stage"] = "swap_7b"
     config = Config.from_name("falcon-7b")
     params = api.init_quantized_params_host(config, "gptq.int4")
+    # same shapes as the round-4 probe run (R=12, C=2, 16-token prompt,
+    # S=512) so every program is already in the persistent compile cache
     dec = SwapDecoder(
-        params, config, resident_layers=12, chunk_layers=5,
+        params, config, resident_layers=12, chunk_layers=2,
         max_seq_length=512, cache_dtype=jnp.int8, temperature=0.0,
     )
     prompt = np.arange(1, 17, dtype=np.int32)
-    dec.generate(prompt, 2)  # compiles (persistent-cached) + warmup
-    n = 4
+    n = 2  # ~76 s/token (host-staged; the relay's in-context H2D is the wall)
     t0 = time.perf_counter()
     dec.generate(prompt, n)
     dt = time.perf_counter() - t0
@@ -427,10 +428,10 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         emit_extra("train_bench_error", 0.0, str(e)[:120])
     # fourth metric: a 7B-class decode via the swap executor, only when the
-    # watchdog budget clearly allows (cold swap compiles take ~10 min; warm
-    # persistent-cached runs ~2)
+    # watchdog budget clearly allows (warm persistent-cached run ~3.5 min:
+    # host init + staging + prefill + 1 decode at ~76 s/run)
     budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
-    if budget - (time.monotonic() - T_MAIN_START) > 420:
+    if budget - (time.monotonic() - T_MAIN_START) > 320:
         try:
             bench_swap_7b_metric()
         except Exception as e:  # noqa: BLE001
