@@ -169,7 +169,7 @@ def emit(value: float, unit: str = "tok/s") -> None:
 def emit_extra(metric: str, value: float, unit: str) -> None:
     """Secondary metric line (the primary line via emit() must come first)."""
     print(json.dumps({
-        "metric": metric, "value": round(value, 2), "unit": unit,
+        "metric": metric, "value": round(value, 3), "unit": unit,
         "vs_baseline": 0,
     }), flush=True)
 
