@@ -227,3 +227,27 @@ def test_admission_retirees_reported_both_modes():
         assert req.done and len(req.produced) == 1, (sync, req.produced)
         assert req in finished, f"sync={sync}: retiree not reported"
         assert req.ttft is not None
+
+
+def test_paged_rolling_window_matches_contiguous():
+    """Requests that exceed the cache window (positions wrap, slot = pos % S)
+    must produce identical tokens through the paged pool — by wrap time every
+    page of the slot is allocated and every row was written by this request."""
+    params = make_params()
+
+    def run(paged):
+        eng = ServingEngine(
+            params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+            max_seq_length=16, paged_kv=paged, page_size=8,
+        )
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # window-roll warning is expected
+            reqs = [eng.submit([1, 2, 3, 4, 5], max_new_tokens=20),
+                    eng.submit([9, 8], max_new_tokens=20)]
+        eng.run_until_drained(max_steps=200, burst=4)
+        assert all(r.done and len(r.produced) == 20 for r in reqs)
+        return [r.produced for r in reqs]
+
+    assert run(True) == run(False)
