@@ -1,8 +1,8 @@
 """Residency-capped decode: stream layer chunks from host RAM (VERDICT r3 #1c).
 
-The relay backend rejects quantized decode programs whose packed weights
-exceed ~2.5 GB resident (PERF.md round-4 bisect), which blocks every direct
-7B-class decode. This executor decodes such models anyway by capping what is
+The relay backend rejects decode programs whose resident stacked block
+weights exceed ~1.7 GB (PERF.md round-4 bisect + ablations), which blocks
+every direct 7B-class decode. This executor decodes such models anyway by capping what is
 resident:
 
 - the embedding, head, and the first ``resident_layers`` layers live on the

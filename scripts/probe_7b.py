@@ -1,6 +1,6 @@
 """7B-wall probe: run one decode configuration and print a JSON verdict.
 
-VERDICT r3 #1: the relay rejects "~3.5 GB-resident quantized decode"
+VERDICT r3 #1: the relay rejects large quantized decode
 programs (falcon-7b / pythia-6.9b int4 — Pallas AND pure-XLA paths) while a
 4.6 GB training program and every synthetic reproduction pass. This script
 changes the program's SHAPE rather than retrying the failing signature:
@@ -91,7 +91,7 @@ def main() -> None:
     params = api.init_quantized_params(config, jax.random.PRNGKey(0), qmode)
 
     # ablations (PROBE7B_ABLATION): name the trigger feature of the failing
-    # "quantized decode program over ~2.5 GB" signature by removing one
+    # failing decode-program signature by removing one
     # component at a time from the otherwise-identical program.
     ablation = os.environ.get("PROBE7B_ABLATION", "")
     STATE["ablation"] = ablation

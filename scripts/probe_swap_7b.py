@@ -1,8 +1,8 @@
 """Land a falcon-7b decode through the residency-capped swap executor.
 
-The relay rejects quantized decode programs over ~2.5 GB resident (PERF.md
-round 4); SwapDecoder keeps embedding + head + SWAP_RESIDENT layers on device
-(~2.1 GB quantized for falcon at 16) and streams the rest from host RAM
+The relay rejects decode programs whose stacked block weights exceed
+~1.7 GB (PERF.md round 4); SwapDecoder keeps embedding + head +
+SWAP_RESIDENT layers on device and streams the rest from host RAM
 chunk-by-chunk. Env: SWAP_MODEL (falcon-7b), SWAP_RESIDENT (16),
 SWAP_CHUNK (4), SWAP_TOKENS (8), SWAP_BUDGET_S (1500). One JSON line.
 """
@@ -96,5 +96,5 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001
-        STATE.update(result="error", error=f"{type(e).__name__}: {str(e)[:300]}")
+        STATE.update(result="error", error=f"{type(e).__name__}: {str(e)[:700]}")
     emit_and_exit()
