@@ -2,8 +2,8 @@
 
 The relay backend rejects decode programs whose resident stacked block
 weights exceed ~1.7 GB (PERF.md round-4 bisect + ablations), which blocks
-every direct 7B-class decode. This executor decodes such models anyway by capping what is
-resident:
+every direct 7B-class decode. This executor decodes such models anyway by
+capping what is resident:
 
 - the embedding, head, and the first ``resident_layers`` layers live on the
   device permanently;

@@ -91,8 +91,8 @@ def main() -> None:
     params = api.init_quantized_params(config, jax.random.PRNGKey(0), qmode)
 
     # ablations (PROBE7B_ABLATION): name the trigger feature of the failing
-    # failing decode-program signature by removing one
-    # component at a time from the otherwise-identical program.
+    # decode-program signature by removing one component at a time from the
+    # otherwise-identical program.
     ablation = os.environ.get("PROBE7B_ABLATION", "")
     STATE["ablation"] = ablation
     cache_dtype = jnp.int8
