@@ -56,6 +56,9 @@ class Request:
     t_submit: float = 0.0
     t_first_token: Optional[float] = None
     t_done: Optional[float] = None
+    # preempted-to-host state (paged engine): saved KV pages + resume point
+    saved: Optional[dict] = None
+    preemptions: int = 0
 
     @property
     def ttft(self) -> Optional[float]:
@@ -199,6 +202,18 @@ def _decode_burst_paged(
     return toks, cache, cur
 
 
+@jax.jit
+def _gather_pages(cache, pages):
+    """Pull one slot's pages out of the pool (d2h swap-out path)."""
+    return jax.tree.map(lambda a: a[:, pages], cache)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_pages(cache, pages, saved):
+    """Write swapped-in pages back into (fresh) pool slots."""
+    return jax.tree.map(lambda big, small: big.at[:, pages].set(small), cache, saved)
+
+
 class ServingEngine:
     """Slot-based continuous batching around the ragged decode step.
 
@@ -244,8 +259,11 @@ class ServingEngine:
         ``total_pages`` (default: the contiguous equivalent,
         ``slots * S/page_size``) can undersubscribe the full-length
         reservation. Admission backpressures when the pool is empty; a
-        running request that cannot get a page raises (size the pool for
-        ``sum(min(len_i, S))`` of concurrent requests)."""
+        running request that cannot get a page **preempts** the
+        fattest other request — its pages swap out to HOST RAM and it
+        requeues with priority, resuming later from the saved pages with no
+        re-prefill (the host tier of "INT8 KV-cache paged across hosts").
+        Only when no victim exists does the engine raise."""
         self.params = params
         self.config = config
         self.slots = slots
@@ -451,21 +469,58 @@ class ServingEngine:
         if self.paged:
             self.alloc.release(b)
 
+    def _preempt(self, b: int) -> None:
+        """Swap a running request's KV pages out to HOST RAM and requeue it —
+        the host tier of "INT8 KV-cache paged across hosts". Its pages free
+        immediately; on re-admission the pages scatter back into fresh pool
+        slots and decoding resumes exactly where it stopped (no re-prefill;
+        greedy continuations are bit-identical — tests)."""
+        req = self.occupant[b]
+        row = self.alloc.table[b]
+        used = row[row >= 0].copy()  # ascending j: page j = window rows [j*ps, ...)
+        saved_pages = jax.device_get(_gather_pages(self.cache, jnp.asarray(used)))
+        req.saved = {
+            "pages": saved_pages, "n": int(len(used)),
+            "pos": int(self.pos[b]), "cur": int(np.asarray(self.cur)[b]),
+        }
+        req.preemptions += 1
+        self._retire(b)
+        self.queue.appendleft(req)  # resume with priority
+
+    def _pick_victim(self, exclude: int) -> Optional[int]:
+        """Preemption victim: the occupied slot holding the most pages (frees
+        the most), skipping requests whose first token is still pending at
+        the barrier (their accounting is in flight)."""
+        best, best_pages = None, 0
+        for b in range(self.slots):
+            req = self.occupant[b]
+            if b == exclude or req is None or not req.produced:
+                continue
+            n_pages = int((self.alloc.table[b] >= 0).sum())
+            if n_pages > best_pages:
+                best, best_pages = b, n_pages
+        return best
+
     def _ensure_pages(self, active: list[int], n_steps: int) -> None:
         """Preallocate pages so every active slot can write its next
-        ``n_steps`` tokens (rows ``pos-1 .. pos+n-2``)."""
+        ``n_steps`` tokens (rows ``pos-1 .. pos+n-2``). When the pool is
+        empty, preempt (swap out to host) the fattest other request rather
+        than failing — raise only when no victim exists."""
         for b in active:
             if self.occupant[b] is None:
                 continue
             upto = min(int(self.pos[b]) + n_steps - 1, self.S)
-            if not self.alloc.ensure(b, upto, self.page_size):
-                raise RuntimeError(
-                    f"KV page pool exhausted: slot {b} needs coverage to "
-                    f"position {upto} but only {self.alloc.n_free} pages are "
-                    f"free — size total_pages for the live token volume "
-                    f"(sum of min(prompt+new, max_seq_length) over "
-                    f"concurrent requests)"
-                )
+            while not self.alloc.ensure(b, upto, self.page_size):
+                victim = self._pick_victim(exclude=b)
+                if victim is None:
+                    raise RuntimeError(
+                        f"KV page pool exhausted: slot {b} needs coverage to "
+                        f"position {upto}, only {self.alloc.n_free} pages are "
+                        f"free, and no other request can be preempted — size "
+                        f"total_pages for at least one full-length request "
+                        f"plus a page per extra slot"
+                    )
+                self._preempt(victim)
 
     def _admit(self) -> list[tuple["Request", int]]:
         """Dispatch admission prefills into free slots WITHOUT host syncs.
@@ -480,7 +535,29 @@ class ServingEngine:
         for b in range(self.slots):
             if not self.queue or self.occupant[b] is not None:
                 continue
-            T = len(self.queue[0].prompt)
+            head = self.queue[0]
+            if head.saved is not None:
+                # swap-in: restore a preempted request's pages from host RAM.
+                # Anti-thrash guard: resuming must leave a page of headroom
+                # per active slot, or the resume would immediately force
+                # another preemption next step.
+                n = head.saved["n"]
+                if self.alloc.n_free < n + self.n_active or not self.alloc.ensure(
+                    b, min(n * self.page_size, self.S), self.page_size
+                ):
+                    break  # not enough pages yet — keep its priority spot
+                req = self.queue.popleft()
+                pages_row = jnp.asarray(self.alloc.table[b][:n])
+                self.cache = _scatter_pages(
+                    self.cache, pages_row,
+                    jax.tree.map(jnp.asarray, req.saved["pages"]),
+                )
+                self.cur = self.cur.at[b].set(req.saved["cur"])
+                self.pos[b] = req.saved["pos"]
+                self.occupant[b] = req
+                req.saved = None
+                continue  # no pending entry: its first token was read long ago
+            T = len(head.prompt)
             if self.paged and not self.alloc.ensure(
                 b, min(T + 1, self.S), self.page_size
             ):

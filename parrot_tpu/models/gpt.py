@@ -275,7 +275,11 @@ def attn_forward(
         # granular DMA reads, same bytes as the contiguous cache.
         ps = kv[0].shape[1]
         B_idx = jnp.arange(B)
-        page_of = page_table[B_idx, slot // ps]  # [B]
+        # the WRITE index needs the trash-page clamp too: a freed slot (its
+        # request just preempted/retired mid-step) carries -1 entries, and an
+        # unclamped negative scatter index would wrap onto the LAST pool page
+        # — stomping whoever owns it
+        page_of = jnp.maximum(page_table[B_idx, slot // ps], 0)  # [B]
         row = slot % ps
         pt = jnp.maximum(page_table, 0)  # trash-page clamp for unallocated
         S = page_table.shape[1] * ps

@@ -251,3 +251,41 @@ def test_paged_rolling_window_matches_contiguous():
         return [r.produced for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_preemption_swaps_pages_to_host_and_resumes_exactly():
+    """Host-tier paging ("paged across hosts"): when the pool can't grow a
+    running request, another request's pages swap OUT to host RAM, it
+    requeues, and later resumes from its saved pages — greedy token streams
+    identical to an unconstrained run, no re-prefill."""
+    params = make_params()
+    prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9]]
+    expected = [_reference_tokens(params, p, 12) for p in prompts]
+
+    # pool: 6 pages of 4 rows = 24 rows for 3 requests needing (3+12)+(5+12)
+    # +(2+12) = 46 rows of coverage — preemption is forced
+    eng = ServingEngine(
+        params, CFG, slots=3, temperature=0.0, cache_dtype=jnp.int8,
+        max_seq_length=16, paged_kv=True, page_size=4, total_pages=6,
+    )
+    reqs = [eng.submit(p, max_new_tokens=12) for p in prompts]
+    eng.run_until_drained(max_steps=500)
+    assert all(r.done for r in reqs)
+    assert [r.produced for r in reqs] == expected
+    assert sum(r.preemptions for r in reqs) > 0  # the pool was actually tight
+    assert eng.alloc.n_free == 6  # all 6 allocatable pages returned
+    assert (eng.alloc.table == -1).all()
+
+
+def test_preemption_burst_mode_parity():
+    params = make_params()
+    prompts = [[1, 2, 3], [7, 6, 5, 4, 3], [9, 9], [2, 4]]
+    expected = [_reference_tokens(params, p, 10) for p in prompts]
+    eng = ServingEngine(
+        params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+        max_seq_length=16, paged_kv=True, page_size=4, total_pages=5,
+    )
+    reqs = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    eng.run_until_drained(max_steps=500, burst=4)
+    assert all(r.done for r in reqs)
+    assert [r.produced for r in reqs] == expected
