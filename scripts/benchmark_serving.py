@@ -314,6 +314,7 @@ def _run_continuous(
         "per_stream_tok_s_p50": round(float(np.percentile(per_stream, 50)), 2),
         "decode_tok_s_p50": round(float(np.percentile(decode_rate, 50)), 2)
         if decode_rate else None,
+        "preemptions": sum(r.preemptions for r in requests),
         "device": jax.devices()[0].device_kind,
     }
     print(_json.dumps(row))
