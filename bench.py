@@ -158,12 +158,13 @@ def emit(value: float, unit: str = "tok/s") -> None:
         if STATE["printed"]:
             return
         STATE["printed"] = True
-        print(json.dumps({
+        STATE["primary_line"] = json.dumps({
             "metric": STATE["metric"],
             "value": round(value, 2),
             "unit": unit,
             "vs_baseline": round(value / STATE["baseline"], 3) if unit == "tok/s" else 0,
-        }), flush=True)
+        })
+        print(STATE["primary_line"], flush=True)
 
 
 def emit_extra(metric: str, value: float, unit: str) -> None:
@@ -436,6 +437,11 @@ def main() -> None:
             bench_swap_7b_metric()
         except Exception as e:  # noqa: BLE001
             emit_extra("swap_7b_error", 0.0, str(e)[:120])
+    # re-emit the primary line LAST: the driver's metric-of-record is the
+    # final JSON line, and it must stay the headline tok/s for round-over-
+    # round comparability (round-3's record accidentally became the TTFT)
+    if STATE.get("primary_line"):
+        print(STATE["primary_line"], flush=True)
 
 
 if __name__ == "__main__":
