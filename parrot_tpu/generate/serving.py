@@ -173,6 +173,28 @@ def _admit_paged(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("config", "temperature", "top_k", "top_p"),
+    donate_argnums=(1,),
+)
+def _decode_all_slots_paged(
+    params, cache, cur: jnp.ndarray, page_table: jnp.ndarray,
+    positions: jnp.ndarray, rng,
+    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+):
+    """Paged single step with the SAME rng consumption as
+    :func:`_decode_all_slots`, so seed-controlled paged-vs-contiguous A/Bs
+    sample identical streams at temperature > 0 in step() mode."""
+    from parrot_tpu.models import paged_kv
+
+    logits, cache = paged_kv.forward_decode_paged(
+        params, config, cur[:, None], cache, page_table, positions
+    )
+    nxt = sample(rng, logits[:, 0], temperature, top_k, top_p)
+    return nxt, cache
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("config", "n_steps", "temperature", "top_k", "top_p"),
     donate_argnums=(1,),
 )
@@ -365,12 +387,12 @@ class ServingEngine:
         self.rng, step_rng = jax.random.split(self.rng)
         if self.paged:
             self._ensure_pages(active, 1)
-            burst_toks, self.cache, self.cur = _decode_burst_paged(
+            nxt, self.cache = _decode_all_slots_paged(
                 self.params, self.cache, self.cur,
                 jnp.asarray(self.alloc.table), positions, step_rng,
-                config=self.config, n_steps=1, **self.sampling,
+                config=self.config, **self.sampling,
             )
-            nxt = burst_toks[0]
+            self.cur = nxt
         else:
             nxt, self.cache = _decode_all_slots(
                 self.params, self.cache, self.cur, positions, step_rng,
@@ -477,10 +499,15 @@ class ServingEngine:
         greedy continuations are bit-identical — tests)."""
         req = self.occupant[b]
         row = self.alloc.table[b]
-        used = row[row >= 0].copy()  # ascending j: page j = window rows [j*ps, ...)
-        saved_pages = jax.device_get(_gather_pages(self.cache, jnp.asarray(used)))
+        n = int((row >= 0).sum())  # allocated pages are an ascending-j prefix
+        # pad the page list to the full per-slot width with the trash page so
+        # gather/scatter compile ONCE (per-shape compiles cost seconds
+        # through remote runtimes); padded entries carry trash-page garbage
+        # that the restore writes straight back to the trash page
+        padded = np.maximum(row, 0).astype(np.int32)
+        saved_pages = jax.device_get(_gather_pages(self.cache, jnp.asarray(padded)))
         req.saved = {
-            "pages": saved_pages, "n": int(len(used)),
+            "pages": saved_pages, "n": n,
             "pos": int(self.pos[b]), "cur": int(np.asarray(self.cur)[b]),
         }
         req.preemptions += 1
@@ -547,7 +574,11 @@ class ServingEngine:
                 ):
                     break  # not enough pages yet — keep its priority spot
                 req = self.queue.popleft()
-                pages_row = jnp.asarray(self.alloc.table[b][:n])
+                # full-width page list (unallocated tail -> trash page): the
+                # scatter program compiles once, padded rows land in trash
+                pages_row = jnp.asarray(
+                    np.maximum(self.alloc.table[b], 0).astype(np.int32)
+                )
                 self.cache = _scatter_pages(
                     self.cache, pages_row,
                     jax.tree.map(jnp.asarray, req.saved["pages"]),
@@ -561,6 +592,17 @@ class ServingEngine:
             if self.paged and not self.alloc.ensure(
                 b, min(T + 1, self.S), self.page_size
             ):
+                if self.alloc.n_free == self.alloc.capacity:
+                    # nothing is allocated anywhere and it STILL doesn't fit:
+                    # waiting can never help — fail loudly instead of
+                    # spinning has_work() forever
+                    raise ValueError(
+                        f"request {head.id} needs "
+                        f"{self.alloc.pages_needed(b, min(T + 1, self.S), self.page_size)}"
+                        f" pages for its prompt but the pool only has "
+                        f"{self.alloc.capacity} — raise total_pages or "
+                        f"lower max_seq_length/page_size"
+                    )
                 break  # pool empty: backpressure — request stays queued
             req = self.queue.popleft()
             Tb = prompt_bucket(T, self.S)

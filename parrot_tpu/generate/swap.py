@@ -55,18 +55,6 @@ def _embed_resident(params_head, blocks_resident, cache, idx, pos, *, config,
     return x, cache
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "layer_offset", "prefill"),
-    donate_argnums=(1,),
-)
-def _chunk(blocks_chunk, cache, x, pos, *, config, layer_offset, prefill=False):
-    return gpt.forward_layers_cached(
-        blocks_chunk, config, x, cache, pos, layer_offset=layer_offset,
-        prefill=prefill,
-    )
-
-
 def _flatten_chunk(host_chunk):
     """Pack a host chunk tree into ONE uint8 buffer + a static unpack spec.
 

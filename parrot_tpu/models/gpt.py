@@ -604,72 +604,30 @@ def forward_cached(
     workaround for backends that reject large stacked decode programs
     (PERF.md round 4) and a knob for scan-carry memory in general.
     """
-    if isinstance(params["blocks"], (list, tuple)):
-        x = jnp.take(params["wte"]["weight"], idx, axis=0)
-        off = 0
-        parts = []
-        for seg_tree in params["blocks"]:
-            Lseg = jax.tree.leaves(seg_tree)[0].shape[0]
-            cache_seg = jax.tree.map(lambda a, o=off, n=Lseg: a[o : o + n], cache)
-            x, cache_seg = forward_layers_cached(
-                seg_tree, config, x, cache_seg, input_pos, layer_offset=off,
-                prefill=prefill,
-            )
-            parts.append(cache_seg)
-            off += Lseg
-        new_cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-        x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
-        logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
-        return logits, new_cache
-    B, T = idx.shape
-    S = cache.max_seq_length
+    segs = (
+        list(params["blocks"])
+        if isinstance(params["blocks"], (list, tuple))
+        else [params["blocks"]]
+    )
     x = jnp.take(params["wte"]["weight"], idx, axis=0)
-
-    cos_t, sin_t = _rope_tables(config, x.dtype)
-    positions = input_pos + jnp.arange(T)
-    cos = jnp.take(cos_t, positions, axis=0)
-    sin = jnp.take(sin_t, positions, axis=0)
-
-    # key slot j is visible to query at absolute time t iff j <= t (pre-wrap)
-    # or unconditionally once the window has wrapped (all slots hold the most
-    # recent S tokens).
-    slots = jnp.arange(S)[None, :]
-    visible = (slots <= positions[:, None]) | (positions[:, None] >= S)  # [T, S]
-    mask = jnp.broadcast_to(visible[None], (B, T, S))
-    slot = jnp.where(input_pos >= S, input_pos % S, input_pos)
-
-    layer_ids = jnp.arange(config.n_layer)
-    rest, qmap = _split_qlin(params["blocks"])
-    if cache.quantized:
-        def step(x, layer):
-            rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
-            p_layer = _merge_qlin(rest_l, qmap, layer_id)
-            x, new_kv = block_forward(
-                p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
-                slot=slot, mask=mask, layer_id=layer_id, prefill=prefill,
-            )
-            return x, new_kv
-
-        x, (new_k, new_v, new_ks, new_vs) = lax.scan(
-            step, x,
-            (rest, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+    off = 0
+    parts = []
+    for seg_tree in segs:
+        Lseg = jax.tree.leaves(seg_tree)[0].shape[0]
+        cache_seg = (
+            cache if len(segs) == 1
+            else jax.tree.map(lambda a, o=off, n=Lseg: a[o : o + n], cache)
         )
-        new_cache = KVCache(k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
-    else:
-        def step(x, layer):
-            rest_l, layer_id, k_l, v_l = layer
-            p_layer = _merge_qlin(rest_l, qmap, layer_id)
-            x, new_kv = block_forward(
-                p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
-                layer_id=layer_id, prefill=prefill,
-            )
-            return x, new_kv
-
-        x, (new_k, new_v) = lax.scan(
-            step, x, (rest, layer_ids, cache.k, cache.v)
+        x, cache_seg = forward_layers_cached(
+            seg_tree, config, x, cache_seg, input_pos, layer_offset=off,
+            prefill=prefill,
         )
-        new_cache = KVCache(k=new_k, v=new_v)
-
+        parts.append(cache_seg)
+        off += Lseg
+    new_cache = (
+        parts[0] if len(parts) == 1
+        else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    )
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))
     return logits, new_cache
@@ -761,17 +719,26 @@ def forward_decode_batched(
     params: Params,
     config: Config,
     idx: jnp.ndarray,  # [B, 1] int32
-    cache: KVCache,
+    cache,  # KVCache, or a paged pool when page_table is given
     positions: jnp.ndarray,  # [B] int32: absolute position of each sequence
-) -> tuple[jnp.ndarray, KVCache]:
+    page_table: Optional[jnp.ndarray] = None,  # [B, pages_per_slot] int32
+):
     """Single-token decode with *per-sequence* positions — the ragged-batch
     step behind continuous batching (no reference counterpart; the reference
     decodes batch-size 1 only). Each sequence writes its K/V at its own slot
     and ropes at its own position; attention masks slots >= that sequence's
     current length.
+
+    With ``page_table``, ``cache`` is a block-paged pool
+    (:class:`parrot_tpu.models.paged_kv.PagedKVCache`): each sequence's K/V
+    lives in its table's pages instead of a contiguous slot row; everything
+    else (mask, rolling window, scan) is identical.
     """
     B = idx.shape[0]
-    S = cache.max_seq_length
+    if page_table is None:
+        S = cache.max_seq_length
+    else:
+        S = page_table.shape[1] * cache.page_size
     x = jnp.take(params["wte"]["weight"], idx, axis=0)
 
     cos_t, sin_t = _rope_tables(config, x.dtype)
@@ -786,13 +753,14 @@ def forward_decode_batched(
 
     layer_ids = jnp.arange(config.n_layer)
     rest, qmap = _split_qlin(params["blocks"])
+    cache_cls = type(cache)
     if cache.quantized:
         def step(x, layer):
             rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
             p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
-                slot=slot, mask=mask, layer_id=layer_id,
+                slot=slot, mask=mask, layer_id=layer_id, page_table=page_table,
             )
             return x, new_kv
 
@@ -800,19 +768,19 @@ def forward_decode_batched(
             step, x,
             (rest, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
         )
-        new_cache = KVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
+        new_cache = cache_cls(k=nk, v=nv, k_scale=nks, v_scale=nvs)
     else:
         def step(x, layer):
             rest_l, layer_id, k_l, v_l = layer
             p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
-                layer_id=layer_id,
+                layer_id=layer_id, page_table=page_table,
             )
             return x, new_kv
 
         x, (nk, nv) = lax.scan(step, x, (rest, layer_ids, cache.k, cache.v))
-        new_cache = KVCache(k=nk, v=nv)
+        new_cache = cache_cls(k=nk, v=nv)
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))

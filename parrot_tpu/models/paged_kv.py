@@ -42,12 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from jax import lax
 
 from parrot_tpu.config import Config
 from parrot_tpu.models import gpt
-from parrot_tpu.models.norms import apply_norm
-from parrot_tpu.ops.linear import apply_linear
 
 
 @struct.dataclass
@@ -97,6 +94,7 @@ class PageAllocator:
 
     def __init__(self, n_pages: int, slots: int, pages_per_slot: int):
         self.free: deque[int] = deque(range(1, n_pages))
+        self.capacity = n_pages - 1  # allocatable pages (page 0 is trash)
         self.table = np.full((slots, pages_per_slot), -1, np.int32)
 
     @property
@@ -149,55 +147,11 @@ def forward_decode_paged(
 ) -> tuple[jnp.ndarray, PagedKVCache]:
     """Paged analogue of :func:`gpt.forward_decode_batched`: single-token
     ragged-batch decode where each sequence's K/V lives in its page-table
-    pages instead of a contiguous slot row."""
-    B = idx.shape[0]
-    ps = cache.page_size
-    S = page_table.shape[1] * ps  # the slot window length
-    x = jnp.take(params["wte"]["weight"], idx, axis=0)
-
-    cos_t, sin_t = gpt._rope_tables(config, x.dtype)
-    safe_pos = jnp.minimum(positions, config.block_size - 1)
-    cos = jnp.take(cos_t, safe_pos, axis=0)[:, None]
-    sin = jnp.take(sin_t, safe_pos, axis=0)[:, None]
-
-    slots = jnp.arange(S)[None, :]
-    visible = (slots <= positions[:, None]) | (positions[:, None] >= S)
-    mask = visible[:, None, :]  # [B, 1, S]
-    slot = jnp.where(positions >= S, positions % S, positions)  # [B]
-
-    layer_ids = jnp.arange(config.n_layer)
-    rest, qmap = gpt._split_qlin(params["blocks"])
-    if cache.quantized:
-        def step(x, layer):
-            rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
-            p_layer = gpt._merge_qlin(rest_l, qmap, layer_id)
-            x, new_kv = gpt.block_forward(
-                p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
-                slot=slot, mask=mask, layer_id=layer_id, page_table=page_table,
-            )
-            return x, new_kv
-
-        x, (nk, nv, nks, nvs) = lax.scan(
-            step, x,
-            (rest, layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
-        )
-        new_cache = PagedKVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
-    else:
-        def step(x, layer):
-            rest_l, layer_id, k_l, v_l = layer
-            p_layer = gpt._merge_qlin(rest_l, qmap, layer_id)
-            x, new_kv = gpt.block_forward(
-                p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot,
-                mask=mask, layer_id=layer_id, page_table=page_table,
-            )
-            return x, new_kv
-
-        x, (nk, nv) = lax.scan(step, x, (rest, layer_ids, cache.k, cache.v))
-        new_cache = PagedKVCache(k=nk, v=nv)
-
-    x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
-    logits = apply_linear(params["lm_head"], x, lora_scaling=gpt._lora_scaling(config))
-    return logits, new_cache
+    pages instead of a contiguous slot row. Thin delegation — the contiguous
+    and paged decode paths share one implementation."""
+    return gpt.forward_decode_batched(
+        params, config, idx, cache, positions, page_table=page_table
+    )
 
 
 def scatter_prefill(

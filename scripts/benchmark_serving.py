@@ -141,11 +141,11 @@ def main(
             )
             rows.append(row)
         ok = [r for r in rows if (r["decode_tok_s_p50"] or 0) >= slo_tok_s]
+        best = max(ok, key=lambda r: r["slots"], default=None)
         print(json.dumps({
             "mode": "slo_sweep", "slo_decode_tok_s": slo_tok_s,
-            "max_slots_meeting_slo": max((r["slots"] for r in ok), default=0),
-            "aggregate_at_that_point": max(
-                (r["aggregate_tok_s"] for r in ok), default=0),
+            "max_slots_meeting_slo": best["slots"] if best else 0,
+            "aggregate_at_that_point": best["aggregate_tok_s"] if best else 0,
         }))
         return
 
@@ -250,6 +250,9 @@ def _run_continuous(
     S = min(config.block_size, prompt_length + max_new_tokens)
     if paged_kv and S % page_size:
         S = -(-S // page_size) * page_size
+        if S > config.block_size:  # round DOWN instead of past block_size
+            S = (config.block_size // page_size) * page_size
+        assert S >= page_size, (config.block_size, page_size)
     eng = ServingEngine(
         params, config, slots=slots, cache_dtype=cache_dtype,
         max_seq_length=S,

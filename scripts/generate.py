@@ -110,6 +110,11 @@ def main(
         params = gpt_lib.segment_blocks(params, segment_layers)
 
     if swap_resident_layers is not None:
+        if segment_layers is not None:
+            raise ValueError(
+                "--segment_layers and --swap_resident_layers are mutually "
+                "exclusive (the swap executor slices the un-segmented stack)"
+            )
         from parrot_tpu.generate.swap import SwapDecoder
 
         dec = SwapDecoder(

@@ -289,3 +289,37 @@ def test_preemption_burst_mode_parity():
     eng.run_until_drained(max_steps=500, burst=4)
     assert all(r.done for r in reqs)
     assert [r.produced for r in reqs] == expected
+
+
+def test_paged_admission_unsatisfiable_prompt_raises():
+    """A prompt that can never fit the pool must raise instead of starving
+    has_work() forever (round-4 review finding)."""
+    import pytest
+
+    params = make_params()
+    eng = ServingEngine(
+        params, CFG, slots=2, temperature=0.0, cache_dtype=jnp.int8,
+        max_seq_length=32, paged_kv=True, page_size=8, total_pages=2,
+    )
+    eng.submit(list(range(1, 21)), max_new_tokens=4)  # needs 3 pages, pool has 2
+    with pytest.raises(ValueError, match="raise total_pages"):
+        eng.step()
+
+
+def test_paged_sampled_stream_matches_contiguous_step_mode():
+    """With identical seeds at temperature > 0, paged step() must consume the
+    rng exactly like contiguous step() (round-4 review finding)."""
+    params = make_params()
+
+    def run(paged):
+        eng = ServingEngine(
+            params, CFG, slots=2, temperature=0.9, top_k=20,
+            cache_dtype=jnp.int8, max_seq_length=32, paged_kv=paged,
+            page_size=8, rng=jax.random.PRNGKey(7),
+        )
+        reqs = [eng.submit([1, 2, 3], max_new_tokens=6),
+                eng.submit([9, 9], max_new_tokens=6)]
+        eng.run_until_drained(max_steps=100)
+        return [r.produced for r in reqs]
+
+    assert run(True) == run(False)
