@@ -204,9 +204,10 @@ def _decode_burst_paged(
     *, config: Config, n_steps: int,
     temperature: float, top_k: Optional[int], top_p: Optional[float],
 ):
-    """Paged analogue of :func:`_decode_burst` (n_steps == 1 is the step()
-    path). The page table is fixed across the burst — the engine preallocates
-    pages covering ``positions + n_steps`` before dispatch."""
+    """Paged analogue of :func:`_decode_burst` (step() uses
+    :func:`_decode_all_slots_paged` for rng parity with the contiguous path).
+    The page table is fixed across the burst — the engine preallocates pages
+    covering ``positions + n_steps`` before dispatch."""
     from parrot_tpu.models import paged_kv
 
     def body(carry, _):
