@@ -23,6 +23,13 @@ from parrot_tpu.utils.tokenizer import Tokenizer
 
 GPTQ_MODEL_FILE = "lit_model_gptq.4bit.safetensors"
 
+
+def gptq_model_file(mode: str) -> str:
+    """``gptq.int4`` -> ``lit_model_gptq.4bit.safetensors`` etc. — same
+    naming scheme as the reference (``quantize/gptq.py:550-556``)."""
+    bits = int(mode.split("int")[1])
+    return f"lit_model_gptq.{bits}bit.safetensors"
+
 PRECISION_DTYPES = {
     "bf16-true": jnp.bfloat16,
     "bf16": jnp.bfloat16,
@@ -44,12 +51,14 @@ def load_model(
     config = Config.from_json(checkpoint_dir / "lit_config.json")
     dtype = PRECISION_DTYPES[precision]
 
-    if quantize == "gptq.int4":
-        model_path = checkpoint_dir / GPTQ_MODEL_FILE
+    is_gptq = quantize is not None and quantize.startswith("gptq.")
+    if is_gptq:
+        model_path = checkpoint_dir / gptq_model_file(quantize)
         if not model_path.is_file():
+            bits = quantize.split("int")[1]
             raise ValueError(
                 f"{model_path} not found: run `python scripts/quantize_gptq.py "
-                f"--checkpoint_dir {checkpoint_dir}` first"
+                f"--checkpoint_dir {checkpoint_dir} --bits {bits}` first"
             )
     else:
         model_path = checkpoint_dir / ckpt.MODEL_FILE
@@ -57,7 +66,7 @@ def load_model(
     t0 = time.time()
     params = ckpt.load_checkpoint(model_path)
     params = _cast_fp_leaves(params, dtype)
-    if quantize is not None and quantize != "gptq.int4":
+    if quantize is not None and not is_gptq:
         params = quantize_api.quantize_params(params, config, quantize)
     if verbose:
         print(

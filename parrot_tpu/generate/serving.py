@@ -41,7 +41,7 @@ from parrot_tpu.config import Config
 from parrot_tpu.generate.engine import _pad_to, prompt_bucket
 from parrot_tpu.models import gpt
 from parrot_tpu.models.gpt import KVCache
-from parrot_tpu.ops.sampling import sample
+from parrot_tpu.ops.sampling import sample_per_slot
 
 
 @dataclass
@@ -56,6 +56,14 @@ class Request:
     t_submit: float = 0.0
     t_first_token: Optional[float] = None
     t_done: Optional[float] = None
+    # per-request sampling overrides (None -> engine defaults)
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    # multi-token stop sequences (tuples of token ids); a match retires the
+    # request and the matched suffix is NOT part of ``produced`` — the same
+    # contract as ``engine.generate_stream`` (≙ reference chat/base.py:49-95)
+    stop_tokens: tuple = ()
     # preempted-to-host state (paged engine): saved KV pages + resume point
     saved: Optional[dict] = None
     preemptions: int = 0
@@ -65,15 +73,23 @@ class Request:
         return None if self.t_first_token is None else self.t_first_token - self.t_submit
 
 
+# Sampling parameters ride as TRACED per-slot arrays (``samp``: dict of
+# t [slots] f32, k [slots] i32, p [slots] f32), so any per-request mix runs
+# the same compiled program — no grouping, no per-combination recompiles
+# (``sample_per_slot``'s bisect top-k takes k as data). The static
+# ``use_top_k/use_top_p`` flags only gate whole stages: at most 4 variants
+# of each program ever compile.
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "temperature", "top_k", "top_p"),
+    static_argnames=("config", "use_top_k", "use_top_p"),
     donate_argnums=(1, 2),
 )
 def _admit_step(
     params, cache: KVCache, cur: jnp.ndarray, row: jnp.ndarray,
-    prompt: jnp.ndarray, t_true: jnp.ndarray, rng,
-    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+    prompt: jnp.ndarray, t_true: jnp.ndarray, samp, rng,
+    *, config: Config, use_top_k: bool, use_top_p: bool,
 ):
     """Prefill ``prompt`` into cache row ``row`` and sample its first token.
 
@@ -90,35 +106,36 @@ def _admit_step(
         cache, sub,
     )
     last = lax.dynamic_index_in_dim(logits[0], t_true - 1, axis=0, keepdims=False)
-    first = sample(rng, last, temperature, top_k, top_p)
+    first = sample_per_slot(rng, last, samp["t"], samp["k"], samp["p"],
+                            use_top_k=use_top_k, use_top_p=use_top_p)
     return cache, cur.at[row].set(first)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "temperature", "top_k", "top_p"),
+    static_argnames=("config", "use_top_k", "use_top_p"),
     donate_argnums=(1,),
 )
 def _decode_all_slots(
-    params, cache: KVCache, cur: jnp.ndarray, positions: jnp.ndarray, rng,
-    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+    params, cache: KVCache, cur: jnp.ndarray, positions: jnp.ndarray, samp, rng,
+    *, config: Config, use_top_k: bool, use_top_p: bool,
 ):
     logits, cache = gpt.forward_decode_batched(
         params, config, cur[:, None], cache, positions
     )
-    nxt = sample(rng, logits[:, 0], temperature, top_k, top_p)
+    nxt = sample_per_slot(rng, logits[:, 0], samp["t"], samp["k"], samp["p"],
+                          use_top_k=use_top_k, use_top_p=use_top_p)
     return nxt, cache
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_steps", "temperature", "top_k", "top_p"),
+    static_argnames=("config", "n_steps", "use_top_k", "use_top_p"),
     donate_argnums=(1,),
 )
 def _decode_burst(
-    params, cache: KVCache, cur: jnp.ndarray, positions: jnp.ndarray, rng,
-    *, config: Config, n_steps: int,
-    temperature: float, top_k: Optional[int], top_p: Optional[float],
+    params, cache: KVCache, cur: jnp.ndarray, positions: jnp.ndarray, samp, rng,
+    *, config: Config, n_steps: int, use_top_k: bool, use_top_p: bool,
 ):
     """``n_steps`` lock-step decodes for all slots in ONE dispatched scan.
 
@@ -134,7 +151,8 @@ def _decode_burst(
             params, config, cur[:, None], cache, positions
         )
         rng, step_rng = jax.random.split(rng)
-        nxt = sample(step_rng, logits[:, 0], temperature, top_k, top_p)
+        nxt = sample_per_slot(step_rng, logits[:, 0], samp["t"], samp["k"],
+                              samp["p"], use_top_k=use_top_k, use_top_p=use_top_p)
         return (cache, nxt, positions + 1, rng), nxt
 
     (cache, cur, positions, rng), toks = lax.scan(
@@ -145,13 +163,13 @@ def _decode_burst(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "temperature", "top_k", "top_p"),
+    static_argnames=("config", "use_top_k", "use_top_p"),
     donate_argnums=(1, 2),
 )
 def _admit_paged(
     params, cache, cur: jnp.ndarray, row: jnp.ndarray,
-    pages_row: jnp.ndarray, prompt: jnp.ndarray, t_true: jnp.ndarray, rng,
-    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+    pages_row: jnp.ndarray, prompt: jnp.ndarray, t_true: jnp.ndarray, samp, rng,
+    *, config: Config, use_top_k: bool, use_top_p: bool,
 ):
     """Paged admission: prefill into a batch-1 scratch cache, scatter the
     scratch rows page-wise into the pool, sample the first token."""
@@ -167,19 +185,20 @@ def _admit_paged(
     )
     cache = paged_kv.scatter_prefill(cache, scratch, pages_row)
     last = lax.dynamic_index_in_dim(logits[0], t_true - 1, axis=0, keepdims=False)
-    first = sample(rng, last, temperature, top_k, top_p)
+    first = sample_per_slot(rng, last, samp["t"], samp["k"], samp["p"],
+                            use_top_k=use_top_k, use_top_p=use_top_p)
     return cache, cur.at[row].set(first)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "temperature", "top_k", "top_p"),
+    static_argnames=("config", "use_top_k", "use_top_p"),
     donate_argnums=(1,),
 )
 def _decode_all_slots_paged(
     params, cache, cur: jnp.ndarray, page_table: jnp.ndarray,
-    positions: jnp.ndarray, rng,
-    *, config: Config, temperature: float, top_k: Optional[int], top_p: Optional[float],
+    positions: jnp.ndarray, samp, rng,
+    *, config: Config, use_top_k: bool, use_top_p: bool,
 ):
     """Paged single step with the SAME rng consumption as
     :func:`_decode_all_slots`, so seed-controlled paged-vs-contiguous A/Bs
@@ -189,20 +208,20 @@ def _decode_all_slots_paged(
     logits, cache = paged_kv.forward_decode_paged(
         params, config, cur[:, None], cache, page_table, positions
     )
-    nxt = sample(rng, logits[:, 0], temperature, top_k, top_p)
+    nxt = sample_per_slot(rng, logits[:, 0], samp["t"], samp["k"], samp["p"],
+                          use_top_k=use_top_k, use_top_p=use_top_p)
     return nxt, cache
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_steps", "temperature", "top_k", "top_p"),
+    static_argnames=("config", "n_steps", "use_top_k", "use_top_p"),
     donate_argnums=(1,),
 )
 def _decode_burst_paged(
     params, cache, cur: jnp.ndarray, page_table: jnp.ndarray,
-    positions: jnp.ndarray, rng,
-    *, config: Config, n_steps: int,
-    temperature: float, top_k: Optional[int], top_p: Optional[float],
+    positions: jnp.ndarray, samp, rng,
+    *, config: Config, n_steps: int, use_top_k: bool, use_top_p: bool,
 ):
     """Paged analogue of :func:`_decode_burst` (step() uses
     :func:`_decode_all_slots_paged` for rng parity with the contiguous path).
@@ -216,7 +235,8 @@ def _decode_burst_paged(
             params, config, cur[:, None], cache, page_table, positions
         )
         rng, step_rng = jax.random.split(rng)
-        nxt = sample(step_rng, logits[:, 0], temperature, top_k, top_p)
+        nxt = sample_per_slot(step_rng, logits[:, 0], samp["t"], samp["k"],
+                              samp["p"], use_top_k=use_top_k, use_top_p=use_top_p)
         return (cache, nxt, positions + 1, rng), nxt
 
     (cache, cur, positions, rng), toks = lax.scan(
@@ -329,7 +349,9 @@ class ServingEngine:
         self.pos = np.zeros((slots,), np.int64)  # tokens so far (prompt+produced)
         self.occupant: list[Optional[Request]] = [None] * slots
         self.queue: deque[Request] = deque()
-        self.sampling = dict(temperature=temperature, top_k=top_k, top_p=top_p)
+        # engine-level DEFAULTS; each Request may override any of the three
+        # (folded into the jitted programs as per-slot arrays, VERDICT r4 #5)
+        self.defaults = dict(temperature=temperature, top_k=top_k, top_p=top_p)
         self.eos_id = eos_id
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._next_id = 0
@@ -341,7 +363,21 @@ class ServingEngine:
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int) -> Request:
+    def submit(
+        self,
+        prompt,
+        max_new_tokens: int,
+        *,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        stop_tokens: tuple = (),
+    ) -> Request:
+        """Queue a request. ``temperature``/``top_k``/``top_p`` override the
+        engine defaults for this request only; ``stop_tokens`` is a tuple of
+        token-id sequences — producing any of them retires the request with
+        the matched suffix excluded from ``produced`` (chat-template stops,
+        same contract as ``generate_stream``)."""
         prompt = np.asarray(prompt, np.int32)
         if len(prompt) > self.S:
             raise ValueError(f"prompt length {len(prompt)} exceeds cache size {self.S}")
@@ -357,7 +393,12 @@ class ServingEngine:
                 f"{self.S} tokens",
                 stacklevel=2,
             )
-        req = Request(self._next_id, prompt, max_new_tokens, t_submit=time.perf_counter())
+        req = Request(
+            self._next_id, prompt, max_new_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            stop_tokens=tuple(tuple(int(t) for t in s) for s in stop_tokens),
+            t_submit=time.perf_counter(),
+        )
         self._next_id += 1
         self.queue.append(req)
         return req
@@ -365,6 +406,53 @@ class ServingEngine:
     @property
     def n_active(self) -> int:
         return sum(r is not None for r in self.occupant)
+
+    # -- sampling-parameter plumbing -----------------------------------------
+
+    def _eff(self, req: Request) -> tuple[float, Optional[int], Optional[float]]:
+        """Effective (temperature, top_k, top_p) for one request."""
+        d = self.defaults
+        t = d["temperature"] if req.temperature is None else req.temperature
+        k = d["top_k"] if req.top_k is None else req.top_k
+        p = d["top_p"] if req.top_p is None else req.top_p
+        return t, k, p
+
+    def _samp_slots(self):
+        """Per-slot sampling arrays + the static stage flags for this
+        dispatch. Encoding: t<=0 greedy, k<=0 no top-k, p>=1 no top-p."""
+        t = np.zeros(self.slots, np.float32)
+        k = np.zeros(self.slots, np.int32)
+        p = np.ones(self.slots, np.float32)
+        use_k = use_p = False
+        for b, r in enumerate(self.occupant):
+            if r is None:
+                continue
+            te, tk, tp = self._eff(r)
+            t[b] = te
+            k[b] = 0 if tk is None else tk
+            p[b] = 1.0 if tp is None else tp
+            use_k |= tk is not None
+            use_p |= tp is not None and tp < 1.0
+        samp = dict(t=jnp.asarray(t), k=jnp.asarray(k), p=jnp.asarray(p))
+        return samp, use_k, use_p
+
+    def _samp_one(self, req: Request):
+        """Scalar sampling tree for one request's admission first-token."""
+        te, tk, tp = self._eff(req)
+        samp = dict(
+            t=jnp.asarray(te, jnp.float32),
+            k=jnp.asarray(0 if tk is None else tk, jnp.int32),
+            p=jnp.asarray(1.0 if tp is None else tp, jnp.float32),
+        )
+        return samp, tk is not None, tp is not None and tp < 1.0
+
+    @staticmethod
+    def _stop_hit(req: Request) -> int:
+        """Length of the stop sequence ``produced`` now ends with (0 = none)."""
+        for s in req.stop_tokens:
+            if len(req.produced) >= len(s) and tuple(req.produced[-len(s):]) == s:
+                return len(s)
+        return 0
 
     def has_work(self) -> bool:
         return bool(self.queue) or self.n_active > 0
@@ -385,19 +473,20 @@ class ServingEngine:
             np.where([r is not None for r in self.occupant], self.pos - 1, 0),
             jnp.int32,
         )
+        samp, use_k, use_p = self._samp_slots()
         self.rng, step_rng = jax.random.split(self.rng)
         if self.paged:
             self._ensure_pages(active, 1)
             nxt, self.cache = _decode_all_slots_paged(
                 self.params, self.cache, self.cur,
-                jnp.asarray(self.alloc.table), positions, step_rng,
-                config=self.config, **self.sampling,
+                jnp.asarray(self.alloc.table), positions, samp, step_rng,
+                config=self.config, use_top_k=use_k, use_top_p=use_p,
             )
             self.cur = nxt
         else:
             nxt, self.cache = _decode_all_slots(
-                self.params, self.cache, self.cur, positions, step_rng,
-                config=self.config, **self.sampling,
+                self.params, self.cache, self.cur, positions, samp, step_rng,
+                config=self.config, use_top_k=use_k, use_top_p=use_p,
             )
             self.cur = nxt
         toks = np.asarray(nxt)  # host sync: admission decisions need the values
@@ -412,7 +501,10 @@ class ServingEngine:
             req.produced.append(tok)
             self.pos[b] += 1
             hit_eos = self.eos_id is not None and tok == self.eos_id
-            if hit_eos or len(req.produced) >= req.max_new_tokens:
+            n_stop = self._stop_hit(req)
+            if n_stop:
+                del req.produced[-n_stop:]  # stop sequence is not output
+            if hit_eos or n_stop or len(req.produced) >= req.max_new_tokens:
                 req.done, req.t_done = True, now
                 self._retire(b)  # slot free for the next admission
                 finished.append(req)
@@ -444,18 +536,19 @@ class ServingEngine:
             np.where([r is not None for r in self.occupant], self.pos - 1, 0),
             jnp.int32,
         )
+        samp, use_k, use_p = self._samp_slots()
         self.rng, step_rng = jax.random.split(self.rng)
         if self.paged:
             self._ensure_pages(active, n)
             toks, self.cache, self.cur = _decode_burst_paged(
                 self.params, self.cache, self.cur,
-                jnp.asarray(self.alloc.table), positions, step_rng,
-                config=self.config, n_steps=n, **self.sampling,
+                jnp.asarray(self.alloc.table), positions, samp, step_rng,
+                config=self.config, n_steps=n, use_top_k=use_k, use_top_p=use_p,
             )
         else:
             toks, self.cache, self.cur = _decode_burst(
-                self.params, self.cache, self.cur, positions, step_rng,
-                config=self.config, n_steps=n, **self.sampling,
+                self.params, self.cache, self.cur, positions, samp, step_rng,
+                config=self.config, n_steps=n, use_top_k=use_k, use_top_p=use_p,
             )
         toks = np.asarray(toks)  # [n, slots] host sync, once per burst
         now = time.perf_counter()
@@ -470,7 +563,10 @@ class ServingEngine:
                 req.produced.append(tok)
                 self.pos[b] += 1
                 hit_eos = self.eos_id is not None and tok == self.eos_id
-                if hit_eos or len(req.produced) >= req.max_new_tokens:
+                n_stop = self._stop_hit(req)
+                if n_stop:
+                    del req.produced[-n_stop:]  # stop sequence is not output
+                if hit_eos or n_stop or len(req.produced) >= req.max_new_tokens:
                     req.done, req.t_done = True, now
                     self._retire(b)
                     finished.append(req)
@@ -507,6 +603,12 @@ class ServingEngine:
         # that the restore writes straight back to the trash page
         padded = np.maximum(row, 0).astype(np.int32)
         saved_pages = jax.device_get(_gather_pages(self.cache, jnp.asarray(padded)))
+        # keep only the n live pages in host RAM (ascontiguousarray drops the
+        # full-width gather buffer — the padded tail is trash-page garbage);
+        # the swap-in pads zeros back so the scatter keeps its fixed shape
+        saved_pages = jax.tree.map(
+            lambda a: np.ascontiguousarray(a[:, :n]), saved_pages
+        )
         req.saved = {
             "pages": saved_pages, "n": n,
             "pos": int(self.pos[b]), "cur": int(np.asarray(self.cur)[b]),
@@ -576,13 +678,25 @@ class ServingEngine:
                     break  # not enough pages yet — keep its priority spot
                 req = self.queue.popleft()
                 # full-width page list (unallocated tail -> trash page): the
-                # scatter program compiles once, padded rows land in trash
+                # scatter program compiles once, padded rows land in trash.
+                # Saved pages were host-sliced to the live prefix at preempt
+                # time; zero-pad back to the fixed scatter width here.
                 pages_row = jnp.asarray(
                     np.maximum(self.alloc.table[b], 0).astype(np.int32)
                 )
+                W = self.alloc.table.shape[1]
+
+                def _padw(a, W=W):
+                    if a.shape[1] == W:
+                        return jnp.asarray(a)
+                    pad = np.zeros(
+                        (a.shape[0], W - a.shape[1]) + a.shape[2:], a.dtype
+                    )
+                    return jnp.asarray(np.concatenate([a, pad], axis=1))
+
                 self.cache = _scatter_pages(
                     self.cache, pages_row,
-                    jax.tree.map(jnp.asarray, req.saved["pages"]),
+                    jax.tree.map(_padw, req.saved["pages"]),
                 )
                 self.cur = self.cur.at[b].set(req.saved["cur"])
                 self.pos[b] = req.saved["pos"]
@@ -590,37 +704,46 @@ class ServingEngine:
                 req.saved = None
                 continue  # no pending entry: its first token was read long ago
             T = len(head.prompt)
-            if self.paged and not self.alloc.ensure(
-                b, min(T + 1, self.S), self.page_size
-            ):
-                if self.alloc.n_free == self.alloc.capacity:
-                    # nothing is allocated anywhere and it STILL doesn't fit:
-                    # waiting can never help — fail loudly instead of
-                    # spinning has_work() forever
+            if self.paged:
+                upto = min(T + 1, self.S)
+                needed = self.alloc.pages_needed(b, upto, self.page_size)
+                if needed > self.alloc.capacity:
+                    # it can NEVER fit, even into an empty pool: waiting can
+                    # never help — fail loudly instead of spinning
+                    # has_work() forever
                     raise ValueError(
-                        f"request {head.id} needs "
-                        f"{self.alloc.pages_needed(b, min(T + 1, self.S), self.page_size)}"
-                        f" pages for its prompt but the pool only has "
-                        f"{self.alloc.capacity} — raise total_pages or "
-                        f"lower max_seq_length/page_size"
+                        f"request {head.id} needs {needed} pages for its "
+                        f"prompt but the pool only has {self.alloc.capacity} "
+                        f"— raise total_pages or lower max_seq_length/"
+                        f"page_size"
                     )
-                break  # pool empty: backpressure — request stays queued
+                # Headroom guard (mirrors the swap-in guard above): a fresh
+                # admission is unpreemptible until its first-token barrier
+                # (no produced token yet), so admitting into the last free
+                # pages could leave _ensure_pages victimless within this
+                # same step. Only admit if every already-active slot keeps a
+                # page of headroom for its next decode step.
+                if self.alloc.n_free < needed + self.n_active or not self.alloc.ensure(
+                    b, upto, self.page_size
+                ):
+                    break  # backpressure — request stays queued
             req = self.queue.popleft()
             Tb = prompt_bucket(T, self.S)
             padded = _pad_to(req.prompt.astype(np.int32), Tb)
+            samp, use_k, use_p = self._samp_one(req)
             self.rng, admit_rng = jax.random.split(self.rng)
             if self.paged:
                 self.cache, self.cur = _admit_paged(
                     self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
                     jnp.asarray(self.alloc.table[b]), padded,
-                    jnp.asarray(T, jnp.int32), admit_rng,
-                    config=self.config, **self.sampling,
+                    jnp.asarray(T, jnp.int32), samp, admit_rng,
+                    config=self.config, use_top_k=use_k, use_top_p=use_p,
                 )
             else:
                 self.cache, self.cur = _admit_step(
                     self.params, self.cache, self.cur, jnp.asarray(b, jnp.int32),
-                    padded, jnp.asarray(T, jnp.int32), admit_rng,
-                    config=self.config, **self.sampling,
+                    padded, jnp.asarray(T, jnp.int32), samp, admit_rng,
+                    config=self.config, use_top_k=use_k, use_top_p=use_p,
                 )
             self.occupant[b] = req
             self.pos[b] = T + 1
@@ -645,7 +768,10 @@ class ServingEngine:
             req.produced.append(tok)
             req.t_first_token = now
             hit_eos = self.eos_id is not None and tok == self.eos_id
-            if hit_eos or len(req.produced) >= req.max_new_tokens:
+            n_stop = self._stop_hit(req)
+            if n_stop:
+                del req.produced[-n_stop:]
+            if hit_eos or n_stop or len(req.produced) >= req.max_new_tokens:
                 req.done, req.t_done = True, now
                 self._retire(b)
                 finished.append(req)

@@ -165,9 +165,14 @@ class SwapDecoder:
         self.S = max_seq_length
         self.sampling = dict(temperature=temperature, top_k=top_k)
         self.prefetch = prefetch
+        self._pool = None
         if prefetch:
             from concurrent.futures import ThreadPoolExecutor
 
+            # concurrency assumption: the worker only calls jax.device_put
+            # while the main thread dispatches jitted programs — safe on
+            # current JAX backends (device_put is thread-safe); flip
+            # prefetch=False if a backend ever objects
             self._pool = ThreadPoolExecutor(max_workers=1)
 
         blocks = params["blocks"]
@@ -234,3 +239,15 @@ class SwapDecoder:
             )
             out.append(int(tok))
         return out
+
+    def close(self) -> None:
+        """Release the prefetch worker thread (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # noqa: D105 — best-effort cleanup at GC
+        try:
+            self.close()
+        except Exception:
+            pass

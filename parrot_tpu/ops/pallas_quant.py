@@ -228,6 +228,104 @@ def _int4_2dot_kernel(
 
 
 # ---------------------------------------------------------------------------
+# int2 (GPTQ asymmetric, 4 codes/byte) — the sub-4-bit decode format
+# ---------------------------------------------------------------------------
+#
+# Telescoped-shift identity (the 4-plane generalization of the int4 2-dot
+# form). Within one PACK_BLOCK the packed byte is p = q0 + 4·q1 + 16·q2 +
+# 64·q3 with plane j holding rows [64j, 64(j+1)). Let t_j = p >> 2j, so
+# t_0 = p (raw byte), t_3 = q3, and q_j = t_j − 4·t_{j+1}. Then
+#
+#   Σ_j x_j·q_j = x_0·t_0 + Σ_{j=1..3} (x_j − 4·x_{j−1})·t_j
+#
+# The weight-sized elementwise work is 3 shifts + 4 int→float casts per
+# packed byte — no masks, no sublane concat — and the packed byte itself
+# feeds the first dot untouched. HBM traffic is HALF of int4's, which is the
+# whole point: decode is weight-streaming-bound, so 2-bit is the format that
+# fits a 7B model under the relay's ~1.7 GB resident-blocks cap
+# (falcon-7b blocks ≈ 1.68 GB at 2-bit; int4's 3.4 GB never fits).
+
+
+def _int2_kernel(
+    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
+    k_tile: int, dot_f32: bool,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = qw_ref[:].astype(jnp.int32)  # [k_tile//4, N] zero-extended bytes
+    dt = jnp.float32 if dot_f32 else jnp.bfloat16
+    # all plane values ≤ 255: exact in bf16 as well as f32
+    t = [p32.astype(jnp.float32)]
+    for j in (1, 2, 3):
+        t.append((p32 >> (2 * j)).astype(jnp.float32))
+    if not dot_f32:
+        t = [tj.astype(dt) for tj in t]
+
+    x = x_ref[:].astype(jnp.float32)  # [M, k_tile]
+    qtr = formats.PACK_BLOCK // 4  # 64 packed rows per block, 64 rows per plane
+    for b in range(k_tile // formats.PACK_BLOCK):
+        xs = [
+            x[:, b * 4 * qtr + j * qtr : b * 4 * qtr + (j + 1) * qtr]
+            for j in range(4)
+        ]
+        coefs = [xs[0]] + [xs[j] - 4.0 * xs[j - 1] for j in (1, 2, 3)]
+        d = jnp.dot(coefs[0].astype(dt), t[0][b * qtr : (b + 1) * qtr],
+                    preferred_element_type=jnp.float32)
+        for j in (1, 2, 3):
+            d += jnp.dot(coefs[j].astype(dt), t[j][b * qtr : (b + 1) * qtr],
+                         preferred_element_type=jnp.float32)
+        row = (k * k_tile + b * formats.PACK_BLOCK) // gs
+        s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)  # [1, N]
+        z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        xsum = jnp.sum(xs[0] + xs[1] + xs[2] + xs[3], axis=1, keepdims=True)
+        acc_ref[:] += (d - xsum * z) * s
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# int8g (GPTQ asymmetric grouped 8-bit, unpacked codes)
+# ---------------------------------------------------------------------------
+
+
+def _uint8g_kernel(
+    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
+    k_tile: int,
+):
+    """bits=8 rung of ``ColBlockQuantizedLinear``: same grouped asymmetric
+    dequant epilogue as int4, no unpack (codes are whole bytes)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = qw_ref[:].astype(jnp.int32).astype(jnp.float32)  # codes 0..255, exact
+    x = x_ref[:].astype(jnp.float32)
+    groups_per_tile = max(1, k_tile // gs)
+    sub = min(gs, k_tile)
+    for g in range(groups_per_tile):
+        xg = x[:, g * sub : (g + 1) * sub]
+        qg = q[g * sub : (g + 1) * sub]
+        partial = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xg, axis=1, keepdims=True)
+        row = (k * k_tile + g * sub) // gs
+        s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        acc_ref[:] += (partial - xsum * z) * s
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
 # int4 weights x int8 activations on the int8 MXU (the fast decode path)
 # ---------------------------------------------------------------------------
 
@@ -518,6 +616,61 @@ def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp
                 (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             # all group rows for this n-tile; rows picked dynamically in-kernel
+            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
+        x.dtype,
+        layer=layer,
+    )
+    return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
+
+
+def int2_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    Kp, Np = p.qw.shape[-2] * 4, p.qw.shape[-1]
+    gs = Kp if p.group_size == -1 else p.group_size
+    k_tile = _pick_k_tile(Kp)
+    aligned = Kp % formats.PACK_BLOCK == 0 and gs % formats.PACK_BLOCK == 0
+    if not aligned:
+        return _xla_dequant(p if layer is None else formats.take_layer(p, layer), x)
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
+    n_k = Kp // k_tile
+    n_groups = Kp // gs
+    kernel = functools.partial(
+        _int2_kernel, n_k=n_k, gs=gs, k_tile=k_tile, dot_f32=DOT_F32
+    )
+    y = _common_call(
+        kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
+        [
+            pl.BlockSpec(
+                (k_tile // 4, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
+        x.dtype,
+        layer=layer,
+    )
+    return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
+
+
+def uint8g_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    Kp, Np = p.qw.shape[-2:]
+    gs = Kp if p.group_size == -1 else p.group_size
+    k_tile = _pick_k_tile(Kp)
+    aligned = Kp % formats.PACK_BLOCK == 0 and (gs % k_tile == 0 or k_tile % gs == 0)
+    if not aligned:
+        return _xla_dequant(p if layer is None else formats.take_layer(p, layer), x)
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
+    kernel = functools.partial(
+        _uint8g_kernel, n_k=Kp // k_tile, gs=gs, k_tile=k_tile
+    )
+    n_groups = Kp // gs
+    y = _common_call(
+        kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
+        [
+            pl.BlockSpec((k_tile, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],

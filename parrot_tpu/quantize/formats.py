@@ -108,16 +108,63 @@ def _pad_kn(w: jnp.ndarray, k_align: int = K_ALIGN, n_align: int = N_ALIGN) -> j
     return jnp.pad(w, ((0, _round_up(K, k_align) - K), (0, _round_up(N, n_align) - N)))
 
 
-def quantize_int8(w: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> QuantizedLinear:
-    """Absmax per-output-channel symmetric int8. ``w``: [in, out]."""
+def quantize_int8(
+    w: jnp.ndarray, bias: Optional[jnp.ndarray] = None, llm_int8: bool = False
+) -> QuantizedLinear:
+    """Absmax per-output-channel symmetric int8. ``w``: [in, out].
+
+    ``llm_int8=True`` marks the parameter for LLM.int8 runtime semantics
+    (Dettmers et al. 2022; the reference's ``bnb.int8`` Linear8bitLt,
+    ``quantize/bnb.py:38-44``): activations quantize to int8 per row EXCEPT
+    input-feature columns whose magnitude exceeds threshold 6.0 — those run
+    in full precision against the dequantized weight columns. Storage is
+    identical; only the matmul dispatch differs. The plain ``int8`` format
+    (weight-only, bf16 activations) is strictly MORE accurate and remains
+    the TPU production path; ``int8-llm`` exists for reference parity."""
     K, N = w.shape
     w = _pad_kn(w)
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
     scales = jnp.where(absmax == 0, 1.0, absmax / 127.0)
     qw = jnp.clip(jnp.round(w.astype(jnp.float32) / scales), -127, 127).astype(jnp.int8)
     return QuantizedLinear(
-        qw=qw, scales=scales, b=bias, fmt="int8", in_features=K, out_features=N,
+        qw=qw, scales=scales, b=bias, fmt="int8-llm" if llm_int8 else "int8",
+        in_features=K, out_features=N,
     )
+
+
+# LLM.int8 outlier threshold (reference quantize/bnb.py:41: threshold=6.0)
+LLM_INT8_THRESHOLD = 6.0
+
+
+def llm_int8_matmul(p: QuantizedLinear, x: jnp.ndarray,
+                    threshold: float = LLM_INT8_THRESHOLD) -> jnp.ndarray:
+    """LLM.int8 mixed-precision matmul (``y = x @ dequant(p)`` semantics).
+
+    Input-feature columns where any ``|x| > threshold`` are outliers: they
+    contribute in full precision (activation values pass through EXACTLY —
+    no rounding). Every other column contributes through the int8 x int8
+    product: activations quantized per row (absmax/127), weights already
+    int8 per output channel — the vector-wise scheme of Linear8bitLt.
+    """
+    Kp = p.qw.shape[-2]
+    if x.shape[-1] != Kp:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kp - x.shape[-1])])
+    xf = x.astype(jnp.float32)
+    flat = xf.reshape(-1, Kp)
+    outlier = jnp.any(jnp.abs(flat) > threshold, axis=0)  # [K] feature mask
+    x_reg = jnp.where(outlier[None, :], 0.0, flat)
+    x_out = flat - x_reg  # exactly the outlier columns, unrounded
+    # regular path: per-row int8 activation quantization
+    row_max = jnp.max(jnp.abs(x_reg), axis=-1, keepdims=True)
+    sx = jnp.where(row_max == 0, 1.0, row_max / 127.0)
+    xq = jnp.clip(jnp.round(x_reg / sx), -127, 127)
+    y = jnp.dot(xq, p.qw.astype(jnp.float32)) * sx * p.scales[None, :].astype(jnp.float32)
+    # outlier path: full precision against dequantized weight columns (the
+    # zeroed regular columns contribute nothing)
+    wd = p.qw.astype(jnp.float32) * p.scales[None, :].astype(jnp.float32)
+    y = y + jnp.dot(x_out, wd)
+    y = y.reshape(x.shape[:-1] + (y.shape[-1],)).astype(x.dtype)
+    return y[..., : p.out_features]
 
 
 # Unpacked rows per packing block. Within each block of 256 K-rows, the low
@@ -160,6 +207,41 @@ def unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
     return out.reshape((K,) + packed.shape[1:])
 
 
+def _pack_block_rows2(K: int) -> int:
+    if K % PACK_BLOCK == 0:
+        return PACK_BLOCK
+    assert K % 4 == 0, "K dimension must be a multiple of 4 to pack int2"
+    return K
+
+
+def pack_crumbs(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack uint8 values in [0, 3] along axis 0, 4 codes per byte.
+
+    Blocked split-quarter layout (the 2-bit analogue of the int4 split-half
+    packing): within each block of 256 K-rows, bit pair j of a byte holds
+    rows [64j, 64(j+1)) — unpacking a block is 3 vector shifts and a sublane
+    concat, and the telescoped-shift identity in the Pallas kernel needs no
+    masks at all. ``[K, ...] -> [K//4, ...]``.
+    """
+    K = q.shape[0]
+    block = _pack_block_rows2(K)
+    blocked = q.reshape((K // block, block) + q.shape[1:])
+    qtr = block // 4
+    planes = [blocked[:, i * qtr : (i + 1) * qtr] for i in range(4)]
+    packed = planes[0] | (planes[1] << 2) | (planes[2] << 4) | (planes[3] << 6)
+    return packed.reshape((K // 4,) + q.shape[1:]).astype(jnp.uint8)
+
+
+def unpack_crumbs(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_crumbs`: [K//4, ...] uint8 -> [K, ...] uint8."""
+    K = packed.shape[0] * 4
+    block = _pack_block_rows2(K)
+    blocked = packed.reshape((K // block, block // 4) + packed.shape[1:])
+    planes = [(blocked >> (2 * i)) & 0x3 for i in range(4)]
+    out = jnp.concatenate(planes, axis=1)
+    return out.reshape((K,) + packed.shape[1:])
+
+
 def quantize_int4(
     w: jnp.ndarray, group_size: int = -1, bias: Optional[jnp.ndarray] = None
 ) -> QuantizedLinear:
@@ -168,22 +250,64 @@ def quantize_int4(
     Same scale/zero derivation as the reference's GPTQ weight quantizer
     (``quantize/gptq.py:317-347``): scale = (max-min)/15, zero = -min/scale.
     """
+    return _quantize_asym(w, bits=4, group_size=group_size, bias=bias)
+
+
+def quantize_int2(
+    w: jnp.ndarray, group_size: int = -1, bias: Optional[jnp.ndarray] = None
+) -> QuantizedLinear:
+    """Asymmetric min/max 2-bit (4 codes/byte) — the sub-4-bit rung of the
+    reference's ``ColBlockQuantizedLinear`` (``quantize/gptq.py:205-230``,
+    ``bits in (2, 4, 8)``). scale = (max-min)/3, zero = -min/scale."""
+    return _quantize_asym(w, bits=2, group_size=group_size, bias=bias)
+
+
+def quantize_int8g(
+    w: jnp.ndarray, group_size: int = -1, bias: Optional[jnp.ndarray] = None
+) -> QuantizedLinear:
+    """Asymmetric min/max grouped 8-bit (unpacked uint8 codes) — the bits=8
+    rung of ``ColBlockQuantizedLinear``. Distinct from the symmetric
+    weight-only ``int8`` format: codes are unsigned with a zero point."""
+    return _quantize_asym(w, bits=8, group_size=group_size, bias=bias)
+
+
+# packed K-rows per storage byte, by format
+PACK_RATIO = {"int2": 4, "int4": 2, "nf4": 2, "fp4": 2, "int8g": 1}
+
+
+def pack_codes(q: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Pack uint8 codes along axis 0 by bit width (blocked split layout)."""
+    if bits == 2:
+        return pack_crumbs(q)
+    if bits == 4:
+        return pack_nibbles(q)
+    if bits == 8:
+        return q.astype(jnp.uint8)
+    raise ValueError(f"unsupported bit width {bits}")
+
+
+def _quantize_asym(
+    w: jnp.ndarray, bits: int, group_size: int, bias: Optional[jnp.ndarray]
+) -> QuantizedLinear:
+    maxq = 2**bits - 1
+    fmt = {2: "int2", 4: "int4", 8: "int8g"}[bits]
+    pack = PACK_RATIO[fmt]
     K, N = w.shape
     wp = _pad_kn(w) if (group_size == -1 or _round_up(K, K_ALIGN) % group_size == 0) \
-        else _pad_kn(w, k_align=2)
+        else _pad_kn(w, k_align=pack)
     Kp, Np = wp.shape
     gs = Kp if group_size == -1 else group_size
     assert Kp % gs == 0, (Kp, gs)
     wf = wp.astype(jnp.float32).reshape(Kp // gs, gs, Np)
     wmax = jnp.maximum(jnp.max(wf, axis=1), 0.0)
     wmin = jnp.minimum(jnp.min(wf, axis=1), 0.0)
-    scales = jnp.where(wmax == wmin, 1.0, (wmax - wmin) / 15.0)  # [n_groups, Np]
-    zeros = jnp.round(-wmin / scales)  # [n_groups, Np], in [0, 15]
-    q = jnp.clip(jnp.round(wf / scales[:, None]) + zeros[:, None], 0, 15)
+    scales = jnp.where(wmax == wmin, 1.0, (wmax - wmin) / maxq)  # [n_groups, Np]
+    zeros = jnp.round(-wmin / scales)  # [n_groups, Np], in [0, maxq]
+    q = jnp.clip(jnp.round(wf / scales[:, None]) + zeros[:, None], 0, maxq)
     q = q.reshape(Kp, Np).astype(jnp.uint8)
     return QuantizedLinear(
-        qw=pack_nibbles(q), scales=scales, zeros=zeros, b=bias,
-        fmt="int4", group_size=group_size, in_features=K, out_features=N,
+        qw=pack_codes(q, bits), scales=scales, zeros=zeros, b=bias,
+        fmt=fmt, group_size=group_size, in_features=K, out_features=N,
     )
 
 
@@ -260,13 +384,15 @@ def dequantize(p: QuantizedLinear, dtype: jnp.dtype = jnp.float32) -> jnp.ndarra
     """Materialize the full-precision weight at its *logical* shape
     ``[in_features, out_features]`` (storage padding sliced away)."""
     K, N = p.in_features, p.out_features
-    if p.fmt == "int8":
+    if p.fmt in ("int8", "int8-llm"):
         w = p.qw.astype(jnp.float32) * p.scales[None, :].astype(jnp.float32)
         return w[:K, :N].astype(dtype)
-    if p.fmt == "int4":
-        Kp, Np = p.qw.shape[0] * 2, p.qw.shape[1]
+    if p.fmt in ("int4", "int2", "int8g"):
+        unpack = {"int4": unpack_nibbles, "int2": unpack_crumbs,
+                  "int8g": lambda q: q}[p.fmt]
+        Kp, Np = p.qw.shape[0] * PACK_RATIO[p.fmt], p.qw.shape[1]
         gs = Kp if p.group_size == -1 else p.group_size
-        q = unpack_nibbles(p.qw).astype(jnp.float32).reshape(Kp // gs, gs, Np)
+        q = unpack(p.qw).astype(jnp.float32).reshape(Kp // gs, gs, Np)
         w = (q - p.zeros[:, None].astype(jnp.float32)) * p.scales[:, None].astype(jnp.float32)
         return w.reshape(Kp, Np)[:K, :N].astype(dtype)
     if p.fmt in ("nf4", "fp4"):

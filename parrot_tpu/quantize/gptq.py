@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from parrot_tpu.quantize.formats import QuantizedLinear, pack_nibbles
+from parrot_tpu.quantize import formats as formats_mod
+from parrot_tpu.quantize.formats import QuantizedLinear, pack_nibbles  # noqa: F401
 
 HIGH = lax.Precision.HIGHEST
 
@@ -330,16 +331,21 @@ def gptq_quantize_linear(
         w, H, bits=bits, blocksize=blocksize, percdamp=percdamp,
         groupsize=groupsize, actorder=actorder,
     )
-    if bits != 4:
-        raise NotImplementedError("packing currently supports 4-bit GPTQ")
-    codes, scales, zeros = pad_int4_fields(codes, scales, zeros, groupsize)
+    if bits not in (2, 4, 8):
+        # same bit-width menu as the reference's ColBlockQuantizedLinear
+        # (quantize/gptq.py:205-213)
+        raise NotImplementedError("GPTQ packing supports bits in (2, 4, 8)")
+    fmt = {2: "int2", 4: "int4", 8: "int8g"}[bits]
+    codes, scales, zeros = pad_quant_fields(
+        codes, scales, zeros, groupsize, pack=formats_mod.PACK_RATIO[fmt]
+    )
     return (
         QuantizedLinear(
-            qw=pack_nibbles(codes),
+            qw=formats_mod.pack_codes(codes, bits),
             scales=scales,
             zeros=zeros,
             b=group.get("b"),
-            fmt="int4",
+            fmt=fmt,
             group_size=groupsize,
             in_features=w.shape[0],
             out_features=w.shape[1],
@@ -348,16 +354,17 @@ def gptq_quantize_linear(
     )
 
 
-def pad_int4_fields(codes, scales, zeros, groupsize):
-    """Pad int4 codes/scales/zeros to storage alignment so the packed tensor
-    matches the tile-aligned layout of :func:`formats.quantize_int4`. Padded
-    rows/cols dequantize to exactly 0."""
+def pad_quant_fields(codes, scales, zeros, groupsize, pack: int = 2):
+    """Pad codes/scales/zeros to storage alignment so the packed tensor
+    matches the tile-aligned layout of :func:`formats._quantize_asym`. Padded
+    rows/cols dequantize to exactly 0. ``pack``: K-rows per storage byte."""
     from parrot_tpu.quantize.formats import K_ALIGN, N_ALIGN, _round_up
 
     K, N = codes.shape
     Kp, Np = _round_up(K, K_ALIGN), _round_up(N, N_ALIGN)
     if groupsize != -1 and Kp % groupsize != 0:
-        Kp = _round_up(K, 2)  # unalignable group size: minimal (pack) padding
+        # unalignable group size: minimal (pack) padding
+        Kp = _round_up(K, max(pack, 1))
     if (Kp, Np) == (K, N):
         return codes, scales, zeros
     # N padding: codes 0 / zeros 0 -> (0-0)*s == 0 for any scale

@@ -224,6 +224,21 @@ def main(
     print(json.dumps(result))
 
 
+def ttft_accounting_label(sync_admission: bool, burst: int) -> str:
+    """Name the barrier that stamps ``t_first_token`` (VERDICT r4 #10).
+
+    - ``"sync"``: one host sync per admission — the honest latency number.
+    - ``"step-barrier"``: async admission read at the next single-step
+      barrier (adds at most one decode step to TTFT).
+    - ``"burst-barrier(n)"``: async admission read at the burst-end barrier —
+      TTFT includes up to ``n`` decode steps and MUST NOT be compared
+      against the other two accountings.
+    """
+    if sync_admission:
+        return "sync"
+    return "step-barrier" if burst <= 1 else f"burst-barrier({burst})"
+
+
 def _run_continuous(
     config, params, cache_dtype, *, prompt_length, max_new_tokens, slots,
     n_requests, arrival_interval_ms, quantize, kv_cache, seed, burst=1,
@@ -231,7 +246,9 @@ def _run_continuous(
 ):
     """Concurrent-arrival benchmark over the continuous-batching engine:
     requests arrive on a wall-clock schedule, are admitted into free decode
-    slots mid-flight, and report per-stream TTFT + throughput."""
+    slots mid-flight, and report per-stream TTFT + throughput. Every result
+    row carries ``ttft_accounting`` (see :func:`ttft_accounting_label`);
+    rows with different accountings are not comparable."""
     import json as _json
     import time as _time
 
@@ -311,6 +328,11 @@ def _run_continuous(
         "burst": burst,
         "sync_admission": sync_admission,
         "paged_kv": paged_kv,
+        # TTFT honesty label: which barrier stamped t_first_token. TTFTs from
+        # different accountings are NOT comparable (async burst mode folds up
+        # to a full burst of decode into "TTFT") — never mix rows whose
+        # ttft_accounting differs in one table.
+        "ttft_accounting": ttft_accounting_label(sync_admission, burst),
         "ttft_p50_ms": round(float(np.percentile(ttfts, 50)), 2),
         "ttft_p90_ms": round(float(np.percentile(ttfts, 90)), 2),
         "aggregate_tok_s": round(total_tokens / t_total, 2),

@@ -46,6 +46,7 @@ def get_sample_data(tokenizer, n_samples: int, block_size: int, seed: int = 0):
 def main(
     checkpoint_dir: Path = Path("checkpoints/stabilityai/stablelm-base-alpha-3b"),
     output_path: Optional[Path] = None,
+    bits: int = 4,
     n_samples: int = 128,
     block_size: int = 2048,
     blocksize: int = 128,
@@ -55,12 +56,14 @@ def main(
     batch_size: int = 8,
     precision: str = "bf16-true",
 ) -> None:
-    """Runs blockwise GPTQ int4 calibration over a checkpoint.
+    """Runs blockwise GPTQ calibration over a checkpoint.
 
     Args:
         checkpoint_dir: Checkpoint directory with lit_model.safetensors.
-        output_path: Output file (default: lit_model_gptq.4bit.safetensors
+        output_path: Output file (default: lit_model_gptq.{bits}bit.safetensors
             inside checkpoint_dir).
+        bits: Quantized width — 2, 4, or 8 (the reference's
+            ColBlockQuantizedLinear menu, quantize/gptq.py:205-213).
         n_samples: Number of calibration sequences.
         block_size: Calibration sequence length.
         blocksize: GPTQ error-feedback block width.
@@ -72,7 +75,7 @@ def main(
     """
     import jax.numpy as jnp
 
-    from parrot_tpu.generate.loader import GPTQ_MODEL_FILE, load_model
+    from parrot_tpu.generate.loader import gptq_model_file, load_model
     from parrot_tpu.quantize.api import quantize_model_gptq
     from parrot_tpu.utils import checkpoint as ckpt
 
@@ -91,14 +94,16 @@ def main(
 
     t0 = time.time()
     qparams, stats = quantize_model_gptq(
-        params, config, calib, blocksize=blocksize, percdamp=percdamp,
+        params, config, calib, bits=bits, blocksize=blocksize, percdamp=percdamp,
         groupsize=groupsize, actorder=actorder, batch_size=batch_size,
         log=lambda msg: print(msg, file=sys.stderr),
     )
     print(f"GPTQ calibration took {time.time() - t0:.1f}s", file=sys.stderr)
     print(f"total quantization error: {sum(stats.values()):.2f}", file=sys.stderr)
 
-    output_path = output_path or (Path(checkpoint_dir) / GPTQ_MODEL_FILE)
+    output_path = output_path or (
+        Path(checkpoint_dir) / gptq_model_file(f"gptq.int{bits}")
+    )
     ckpt.save_checkpoint(output_path, qparams)
     print(f"Saved {output_path}", file=sys.stderr)
 

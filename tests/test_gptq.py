@@ -182,3 +182,31 @@ def test_host_offload_path_matches_on_device():
     off = gptq.gptq_quantize_matrix(w, H, blocksize=16, offload=True)
     for a, b in zip(on_dev[:3], off[:3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [2, 8])
+def test_gptq_linear_multibit_packs_and_matches_oracle(bits):
+    """bits=2/8 packing parity with the reference's ColBlockQuantizedLinear
+    menu (quantize/gptq.py:205-230): the packed QuantizedLinear must
+    dequantize to exactly what the GPTQ codes said, and GPTQ must beat RTN at
+    the same width on correlated inputs."""
+    rng = np.random.RandomState(2)
+    K, N, S = 64, 48, 512
+    basis = rng.randn(8, K)
+    x = jnp.asarray(rng.randn(S, 8) @ basis + 0.1 * rng.randn(S, K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, N) * 0.1, jnp.float32)
+    H, n = gptq.init_hessian(K)
+    H, n = gptq.accumulate_hessian(H, n, x[None])
+    q, err = gptq.gptq_quantize_linear({"w": w}, H, bits=bits, blocksize=16)
+    assert q.fmt == {2: "int2", 8: "int8g"}[bits]
+    assert q.in_features == K and q.out_features == N
+    # packed roundtrip: dequant matches the codes' dequant at logical shape
+    codes, scales, zeros, _ = gptq.gptq_quantize_matrix(w, H, bits=bits, blocksize=16)
+    manual = (codes.astype(jnp.float32) - zeros[0][None, :]) * scales[0][None, :]
+    np.testing.assert_allclose(
+        np.asarray(formats.dequantize(q)), np.asarray(manual), rtol=1e-5, atol=1e-6
+    )
+    rtn_fn = formats.quantize_int2 if bits == 2 else formats.quantize_int8g
+    gptq_err = _calib_error(w, formats.dequantize(q), x)
+    rtn_err = _calib_error(w, formats.dequantize(rtn_fn(w)), x)
+    assert gptq_err < rtn_err, (gptq_err, rtn_err)

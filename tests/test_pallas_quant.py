@@ -204,3 +204,65 @@ def test_ragged_decode_stacked_path_matches_sliced(monkeypatch):
     monkeypatch.setattr(quant_matmul, "_on_tpu", lambda: True)
     got = run()
     assert ref == got, (ref, got)
+
+
+@pytest.mark.parametrize("group_size", [-1, 256, 512])
+@pytest.mark.parametrize("m", [1, 4])
+def test_int2_kernel(group_size, m):
+    K, N = 512, 384
+    w = jax.random.normal(jax.random.PRNGKey(12), (K, N)) * 0.1
+    p = formats.quantize_int2(w, group_size=group_size)
+    x = mk_x(m, K, seed=13)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int2_matmul(p, x)
+    assert actual.shape == (m, N)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("dot_f32", [False, True])
+def test_int2_telescoped_identity_exact_on_integer_activations(dot_f32, monkeypatch):
+    """The telescoped-shift rewrite (sum_j x_j q_j == x_0 t_0 +
+    sum_{j>=1} (x_j - 4 x_{j-1}) t_j with t_j = p >> 2j) must be EXACT when
+    activations are small multiples of 4 (coefficients and plane values all
+    exactly representable), proving the algebra rather than hiding in
+    tolerance."""
+    monkeypatch.setattr(pallas_quant, "DOT_F32", dot_f32)
+    K, N = 512, 256
+    rng = np.random.RandomState(14)
+    w = jnp.asarray(rng.randint(-2, 2, (K, N)), jnp.float32)
+    p = formats.quantize_int2(w, group_size=-1)
+    x = jnp.asarray(rng.randint(-4, 4, (1, K)) * 16.0, jnp.float32)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int2_matmul(p, x)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=0, atol=1e-3)
+
+
+@pytest.mark.parametrize("group_size", [-1, 128, 512])
+@pytest.mark.parametrize("m", [1, 4])
+def test_uint8g_kernel(group_size, m):
+    K, N = 512, 384
+    w = jax.random.normal(jax.random.PRNGKey(15), (K, N)) * 0.1
+    p = formats.quantize_int8g(w, group_size=group_size)
+    x = mk_x(m, K, seed=16)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.uint8g_matmul(p, x)
+    assert actual.shape == (m, N)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("fmt", ["int2", "int8g"])
+def test_int2_int8g_stacked_layer_prefetch(fmt):
+    """Stacked [L, ...] 2-bit / grouped-8-bit weights via scalar prefetch must
+    match the per-layer-sliced call (the decode path for sub-4-bit 7B)."""
+    L, K, N = 3, 512, 384
+    qfn = formats.quantize_int2 if fmt == "int2" else formats.quantize_int8g
+    fn = pallas_quant.int2_matmul if fmt == "int2" else pallas_quant.uint8g_matmul
+    ws = [jax.random.normal(jax.random.PRNGKey(20 + i), (K, N)) * 0.1 for i in range(L)]
+    ps = [qfn(w, group_size=-1) for w in ws]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *ps)
+    x = mk_x(1, K, seed=21)
+    for l in range(L):
+        expected = fn(ps[l], x)
+        got = fn(stacked, x, layer=jnp.asarray(l, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-2, atol=2e-2)

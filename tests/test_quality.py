@@ -123,3 +123,28 @@ def test_w8a8_ppl_delta(trained, monkeypatch):
     ppl_w8a8 = _ppl(q, eval_tokens)
     assert calls, "w8a8 kernel path never engaged"
     assert abs(ppl_w8a8 - ppl_int4) < 0.05 * fp, (fp, ppl_int4, ppl_w8a8)
+
+
+def test_multibit_ppl_ordering(trained):
+    """The 2/4/8-bit GPTQ menu (reference ColBlockQuantizedLinear widths) and
+    LLM.int8 behave sanely on a trained model: 8-bit ~lossless, LLM.int8
+    close to weight-only int8, and calibration helps at 2-bit where RTN is
+    weakest. (Full-scale deltas: scripts/quality_eval.py on-chip.)"""
+    params, eval_tokens = trained
+    fp = _ppl(params, eval_tokens)
+    d = {}
+    for mode in ("gptq.int8", "bnb.int8", "bnb.int8-llm", "gptq.int4", "gptq.int2"):
+        d[mode] = _ppl(api.quantize_params(params, CFG, mode), eval_tokens) - fp
+    assert abs(d["gptq.int8"]) < 0.05 * fp, d
+    assert abs(d["bnb.int8-llm"]) < 0.05 * fp, d
+    # LLM.int8's activation quantization may add noise over weight-only int8
+    # but must stay the same order (the reference's own quality claim)
+    assert abs(d["bnb.int8-llm"]) < abs(d["bnb.int8"]) + 0.05 * fp, d
+    # width monotonicity (allowing tiny-model noise at equal widths)
+    assert d["gptq.int2"] > d["gptq.int4"] - 0.02 * fp, d
+
+    rtn2 = _ppl(api.quantize_params(params, CFG, "gptq.int2"), eval_tokens)
+    calib2, _ = api.quantize_model_gptq(
+        params, CFG, eval_tokens, bits=2, blocksize=16, batch_size=8, log=None
+    )
+    assert _ppl(calib2, eval_tokens) <= rtn2 * 1.05, (rtn2, _ppl(calib2, eval_tokens))

@@ -472,3 +472,21 @@ def test_pretrain_trainer_variant_and_autoresume(tmp_path, capsys):
         eval_interval=100, log_interval=1, resume=True,
     )
     assert "000005" in latest_checkpoint(tmp_path / "out").name
+
+
+def test_ttft_accounting_label_and_row_field():
+    """The serving benchmark labels every row with which barrier stamped
+    TTFT and documents that rows with different accountings must not be
+    compared (VERDICT r4 #10)."""
+    sys.path.insert(0, str(SCRIPTS))
+    import benchmark_serving as bs
+
+    assert bs.ttft_accounting_label(True, 8) == "sync"
+    assert bs.ttft_accounting_label(False, 1) == "step-barrier"
+    assert bs.ttft_accounting_label(False, 8) == "burst-barrier(8)"
+    # docstring-verified: the contract lives where a reader will find it
+    assert "MUST NOT be compared" in bs.ttft_accounting_label.__doc__
+    assert "ttft_accounting" in bs._run_continuous.__doc__
+    import inspect
+
+    assert '"ttft_accounting"' in inspect.getsource(bs._run_continuous)

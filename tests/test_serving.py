@@ -323,3 +323,77 @@ def test_paged_sampled_stream_matches_contiguous_step_mode():
         return [r.produced for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_stop_sequences_through_serving_engine():
+    """Multi-token stop sequences retire the request and are excluded from
+    ``produced`` — the generate_stream contract (≙ reference chat/base.py
+    stop handling), now available per-request in continuous batching."""
+    params = make_params()
+    prompt = [1, 2, 3]
+    full = _reference_tokens(params, prompt, 8)
+    # pick the 3rd+4th produced tokens as the stop sequence
+    stop = tuple(full[2:4])
+
+    eng = ServingEngine(params, CFG, slots=2, temperature=0.0)
+    req = eng.submit(prompt, max_new_tokens=8, stop_tokens=(stop,))
+    other = eng.submit([5, 6], max_new_tokens=8)  # unaffected neighbour
+    eng.run_until_drained(max_steps=100)
+    assert req.done
+    assert req.produced == full[:2], (req.produced, full)
+    assert other.produced == _reference_tokens(params, [5, 6], 8)
+    # burst mode: same truncation across burst boundaries
+    eng2 = ServingEngine(params, CFG, slots=2, temperature=0.0)
+    req2 = eng2.submit(prompt, max_new_tokens=8, stop_tokens=(stop,))
+    while eng2.has_work():
+        eng2.step_burst(3)
+    assert req2.done and req2.produced == full[:2]
+
+
+def test_stop_on_admission_first_token():
+    """A stop sequence of length 1 matching the very first produced token
+    retires the request at the admission barrier."""
+    params = make_params()
+    prompt = [1, 2, 3]
+    full = _reference_tokens(params, prompt, 4)
+    eng = ServingEngine(params, CFG, slots=1, temperature=0.0)
+    req = eng.submit(prompt, max_new_tokens=4, stop_tokens=((full[0],),))
+    eng.run_until_drained(max_steps=20)
+    assert req.done and req.produced == []
+
+
+def test_per_request_sampling_overrides():
+    """A greedy-override request decodes its reference stream even while a
+    high-temperature request shares the batch (per-slot sampling arrays)."""
+    params = make_params()
+    prompt = [1, 2, 3]
+    want = _reference_tokens(params, prompt, 6)
+
+    eng = ServingEngine(params, CFG, slots=2, temperature=0.9, top_k=8)
+    greedy_req = eng.submit(prompt, max_new_tokens=6, temperature=0.0)
+    hot_req = eng.submit([4, 5], max_new_tokens=6, top_p=0.9)  # engine temp
+    eng.run_until_drained(max_steps=100)
+    assert greedy_req.produced == want, (greedy_req.produced, want)
+    assert hot_req.done and len(hot_req.produced) == 6
+    assert all(0 <= t < CFG.padded_vocab_size for t in hot_req.produced)
+
+
+def test_per_slot_sampler_matches_static_sample():
+    """sample_per_slot must reproduce sample() row-for-row given the same
+    scalar parameters (bisect top-k ≡ sort top-k, traced top-p ≡ static)."""
+    from parrot_tpu.ops.sampling import sample, sample_per_slot
+
+    rng = jax.random.PRNGKey(3)
+    logits = jax.random.normal(jax.random.PRNGKey(4), (5, 128)) * 3.0
+    for t, k, p in [(1.0, 7, None), (0.7, 20, 0.9), (1.3, None, 0.5),
+                    (0.0, 5, 0.9), (1.0, None, None)]:
+        want = sample(rng, logits, t, k, p)
+        got = sample_per_slot(
+            rng, logits,
+            jnp.full((5,), t, jnp.float32),
+            jnp.full((5,), 0 if k is None else k, jnp.int32),
+            jnp.full((5,), 1.0 if p is None else p, jnp.float32),
+            use_top_k=k is not None,
+            use_top_p=p is not None and p < 1.0,
+        )
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got)), (t, k, p)

@@ -174,3 +174,76 @@ def test_sp_file_without_library_or_hf_raises(tmp_path, monkeypatch):
 def test_no_tokenizer_files_raises(tmp_path):
     with pytest.raises(NotImplementedError, match="No tokenizer"):
         Tokenizer(tmp_path)
+
+
+class FakeSubwordSPProcessor:
+    """sp-style subword fake: pieces carry the '▁' word-boundary marker and
+    merge across token boundaries when decoded — the property that forces
+    chat streaming to re-decode the whole prefix (chat/base.py:98-117)."""
+
+    PIECES = ["<unk>", "<s>", "</s>", "▁the", "▁qu", "ick", "▁br", "own",
+              "▁fox", "▁jum", "ps"]
+
+    def __init__(self, model_file=None):
+        pass
+
+    def encode(self, text):
+        # greedy longest-piece tokenization over the marked text
+        marked = "▁" + text.replace(" ", "▁")
+        ids, i = [], 0
+        while i < len(marked):
+            for j in range(len(marked), i, -1):
+                if marked[i:j] in self.PIECES:
+                    ids.append(self.PIECES.index(marked[i:j]))
+                    i = j
+                    break
+            else:
+                ids.append(0)
+                i += 1
+        return ids
+
+    def decode(self, ids):
+        return "".join(
+            self.PIECES[i] for i in ids if i not in (1, 2)
+        ).replace("▁", " ").lstrip()
+
+    def vocab_size(self):
+        return len(self.PIECES)
+
+    def bos_id(self):
+        return 1
+
+    def eos_id(self):
+        return 2
+
+    def piece_to_id(self, piece):
+        return self.PIECES.index(piece) if piece in self.PIECES else 0
+
+
+def test_sentencepiece_chat_incremental_decode(tmp_path, monkeypatch):
+    """The chat streaming loop (prefix-diff re-decode, scripts/chat.py:80-105)
+    must reconstruct the exact final text through the sp backend even when
+    pieces merge across token boundaries mid-word."""
+    mod = types.ModuleType("sentencepiece")
+    mod.SentencePieceProcessor = FakeSubwordSPProcessor
+    monkeypatch.setitem(sys.modules, "sentencepiece", mod)
+    (tmp_path / "tokenizer.model").write_bytes(b"\x00fake")
+    t = Tokenizer(tmp_path)
+    assert t.backend == "sentencepiece"
+
+    text = "the quick brown fox jumps"
+    ids = t.encode(text).tolist()
+    assert len(ids) > 5  # genuinely subword: pieces split mid-word
+
+    # the chat.py streaming loop, verbatim semantics
+    produced, printed = [], ""
+    emitted_chunks = []
+    for tok in ids:
+        produced.append(int(tok))
+        cur = t.decode(produced)
+        emitted_chunks.append(cur[len(printed):])
+        printed = cur
+    assert printed == text
+    assert "".join(emitted_chunks) == text
+    # mid-word pieces arrive without spurious separators ('ick' after '▁qu')
+    assert "ick" in emitted_chunks and " qu" in "".join(emitted_chunks)
