@@ -158,14 +158,21 @@ def main(
                ppl(qc), fp_ppl)
         del qc
 
-    # W8A8 decode variant on the int4 weights (opt-in kernel numerics)
+    # W8A8 decode variant on the int4 weights (opt-in kernel numerics).
+    # FRESH jit: the kernel variant is a module global read at trace time —
+    # reusing `fwd` would silently re-run the cached 2dot-f32 executable
+    # (same param treedef), reporting int4-RTN's ppl as W8A8's.
     from parrot_tpu.ops import pallas_quant
 
     if jax.default_backend() == "tpu":
         q4 = api.quantize_params(params, config, "gptq.int4")
         pallas_quant.set_int4_variant("w8a8")
         try:
-            report("gptq.int4 + W8A8 kernel", ppl(q4), fp_ppl)
+            fwd_w8a8 = jax.jit(lambda p, t: gpt.forward(p, config, t))
+            logits = fwd_w8a8(q4, eval_tokens)
+            v = float(jnp.exp(cross_entropy(
+                logits[:, :-1].astype(jnp.float32), eval_tokens[:, 1:])))
+            report("gptq.int4 + W8A8 kernel", v, fp_ppl)
         finally:
             pallas_quant.set_int4_variant("2dot-f32")
         del q4
