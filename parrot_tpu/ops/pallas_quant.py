@@ -22,12 +22,17 @@ because the regime is different:
   the VPU has no fast path for.
 
 Grid: ``(m, n, k)`` with k innermost; a float32 VMEM scratch accumulates
-partials and flushes to the output on the last k step. K tiles are
-``PACK_BLOCK`` (256) unpacked rows; N tiles 256 lanes.
+partials and flushes to the output on the last k step.
 
 All shapes arrive pre-padded by the quantized formats (``K % 256 == 0``,
 ``N % 128 == 0``); the wrapper pads M and activations' K and slices the
-output back to logical width.
+output back to logical width. Edge tiles may be partial on BOTH N and K:
+N stores are masked by Pallas, and a ragged K (falcon 18176, llama 11008)
+rides a partial K edge tile whose out-of-bounds weight reads are finite
+integer garbage multiplied by zero-padded activations, with in-kernel
+scale-row clamps (see ``_pick_k_tile``). N tiles are chosen per matrix to
+avoid partial N tiles where the width allows (``_pick_n_tile``) — on
+falcon-7b this one change was worth +51% decode throughput (PERF.md r5).
 """
 
 from __future__ import annotations
@@ -52,6 +57,52 @@ from parrot_tpu.quantize import formats
 K_TILE = 2 * formats.PACK_BLOCK  # 512 unpacked rows = 256 packed rows
 N_TILE = 4096
 M_TILE = 128
+
+# N-tile policy. "fitted" removes partial N tiles where the padded width
+# allows: whole-matrix tiles up to 9216 lanes, else the largest 128-multiple
+# divisor in [2048, 9216], else the classic 4096 (partial edge tile). The
+# round-5 falcon-7b profile showed the classic policy streaming at ~245 GB/s
+# effective (vs ~490 GB/s on the 4096-friendly 3B shapes): falcon's widths
+# (4736 / 4608 / 18176) make every second-or-so grid step a mostly-empty
+# edge tile. "classic" kept for A/B.
+N_TILE_MODE = "fitted"
+
+
+def _pick_n_tile(Np: int, rows: int = 128, m_tile: int = 8,
+                 extra_rows_f32: int = 0) -> int:
+    """Pick the N tile under a scoped-VMEM byte budget.
+
+    Per-lane VMEM cost of one grid step: the f32 accumulator + output
+    (``m_tile`` rows x ~6 B), the double-buffered packed weight tile
+    (``rows`` x 2 B, rows = k_tile//pack), and any full-height f32
+    scale/zero rows the kernel keeps resident (``extra_rows_f32`` x 4 B).
+    The scoped-vmem limit is 16 MB; budget 10 MB and leave the rest to the
+    pipeline. This is what the prefill path (m_tile=128) OOM'd on when the
+    first fitted policy only counted weight bytes ("Scoped allocation with
+    size 20.47M and limit 16.00M", PERF.md r5). Widths the classic 4096
+    already divides keep it (the 3B A/B measured larger even tiles ~3%
+    slower); only widths that would pay a partial edge tile get fitted."""
+    if N_TILE_MODE == "classic" or Np % N_TILE == 0:
+        return N_TILE
+    if m_tile > 8:
+        # prefill (M >= 128) is MXU-bound and its wide accumulator/output
+        # buffers blow the scoped-vmem limit at fitted widths (measured:
+        # 20.5M/24.7M vs the 16M limit); tile fitting is a decode-bandwidth
+        # optimization — keep the proven classic tiling here
+        return N_TILE
+    per_lane = m_tile * 6 + rows * 2 + extra_rows_f32 * 4
+    cap = max(2048, min(16384, (10_000_000 // max(per_lane, 1)) // 128 * 128))
+    # DMA-efficiency bound on the weight tile itself (~2.5 MB): the on-chip
+    # A/B'd decode picks (falcon 16256-lane lm_head, 3B 8448) live here
+    cap = min(cap, max(2048, (2_621_440 // max(rows, 1)) // 128 * 128))
+    if Np <= cap:
+        return Np
+    nd = Np // 128
+    for cand in range(cap // 128, 15, -1):
+        if nd % cand == 0:
+            return cand * 128
+    return min(N_TILE, cap)
+
 
 _INTERPRET = False  # flipped by tests on CPU
 
@@ -124,7 +175,7 @@ def _int8_kernel(x_ref, qw_ref, scales_ref, out_ref, acc_ref, *, n_k: int):
 
 def _int4_kernel(
     x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
-    k_tile: int,
+    k_tile: int, n_groups: int = 1,
 ):
     """scales_ref/zeros_ref hold ALL group rows for this n-tile (tiny: a few
     KB) — per-group rows are picked with a dynamic index computed from the
@@ -145,7 +196,7 @@ def _int4_kernel(
         qg = q[g * sub : (g + 1) * sub]
         partial = jnp.dot(xg, qg, preferred_element_type=jnp.float32)  # [M, N]
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # [M, 1]
-        row = (k * k_tile + g * sub) // gs
+        row = jnp.minimum((k * k_tile + g * sub) // gs, n_groups - 1)
         s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)  # [1, N]
         z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
         acc_ref[:] += (partial - xsum * z) * s
@@ -189,7 +240,7 @@ DOT_F32 = True
 
 def _int4_2dot_kernel(
     x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
-    k_tile: int, dot_f32: bool,
+    k_tile: int, dot_f32: bool, n_groups: int = 1,
 ):
     k = pl.program_id(2)
 
@@ -216,7 +267,7 @@ def _int4_2dot_kernel(
                     preferred_element_type=jnp.float32)
         d += jnp.dot(v.astype(dt), p_d[b * half : (b + 1) * half],
                      preferred_element_type=jnp.float32)
-        row = (k * k_tile + b * formats.PACK_BLOCK) // gs
+        row = jnp.minimum((k * k_tile + b * formats.PACK_BLOCK) // gs, n_groups - 1)
         s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)  # [1, N]
         z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
         xsum = jnp.sum(xa + xb, axis=1, keepdims=True)  # [M, 1]
@@ -248,7 +299,7 @@ def _int4_2dot_kernel(
 
 def _int2_kernel(
     x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
-    k_tile: int, dot_f32: bool,
+    k_tile: int, dot_f32: bool, n_groups: int = 1,
 ):
     k = pl.program_id(2)
 
@@ -278,11 +329,92 @@ def _int2_kernel(
         for j in (1, 2, 3):
             d += jnp.dot(coefs[j].astype(dt), t[j][b * qtr : (b + 1) * qtr],
                          preferred_element_type=jnp.float32)
-        row = (k * k_tile + b * formats.PACK_BLOCK) // gs
+        row = jnp.minimum((k * k_tile + b * formats.PACK_BLOCK) // gs, n_groups - 1)
         s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)  # [1, N]
         z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
         xsum = jnp.sum(xs[0] + xs[1] + xs[2] + xs[3], axis=1, keepdims=True)
         acc_ref[:] += (d - xsum * z) * s
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+# int2 on the int8 MXU (the fast falcon-7b decode path)
+#
+# The exact-activation kernel above is VPU-bound: widen + 3 shifts + 4
+# int->float casts ≈ 8 int32-width passes per packed byte (profiled at 3-4x
+# the DMA time on falcon-7b, PERF.md round 5). This variant does the whole
+# weight-sized unpack with THREE i8 masks and one i8 XOR — quarter-cost VPU
+# passes, no shifts (Mosaic has no i8 vector shift), no widening — and runs
+# the dots on the int8 MXU. Mask-telescoped identity: with
+# m0 = p & 0x03, m1 = p & 0x0F, m2 = p & 0x3F (all int8-safe),
+#
+#   q1 = (m1-m0)/4, q2 = (m2-m1)/16, q3 = (p-m2)/64   =>
+#   sum_j x_j q_j = (x0 - x1/4)·m0 + (x1/4 - x2/16)·m1
+#                 + (x2/16 - x3/64)·m2 + (x3/64)·p
+#
+# p itself needs the sign trick (p in [0,255]): p_s8 = bitcast(p ^ 0x80)
+# = p - 128, corrected by +128·Σc3q. Activations are int8 per (row,
+# quarter-block) — W8A8 numerics, opt-in behind the same quality gate as
+# the int4 W8A8 variant (measured on the 70m harness: the 2-bit weight
+# error dwarfs the activation-int8 noise).
+
+
+def _int2_w8a8_kernel(
+    x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
+    k_tile: int, n_groups: int = 1,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = qw_ref[:]  # [k_tile//4, N] uint8
+    m0 = (packed & 0x03).astype(jnp.int8)
+    m1 = (packed & 0x0F).astype(jnp.int8)
+    m2 = (packed & 0x3F).astype(jnp.int8)
+    p_s8 = pltpu.bitcast(packed ^ 0x80, jnp.int8)  # p - 128
+
+    x = x_ref[:].astype(jnp.float32)  # [M, k_tile]
+    qtr = formats.PACK_BLOCK // 4  # 64 rows per plane
+
+    def quant_rows(a):
+        """[M, qtr] f32 -> int8 codes + per-row f32 scale."""
+        absmax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+        s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        return jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8), s
+
+    y_codes = jnp.zeros(acc_ref.shape, jnp.float32)
+    xsum_all = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for b in range(k_tile // formats.PACK_BLOCK):
+        xs = [
+            x[:, b * 4 * qtr + jq * qtr : b * 4 * qtr + (jq + 1) * qtr]
+            for jq in range(4)
+        ]
+        coefs = [
+            xs[0] - xs[1] * 0.25,
+            xs[1] * 0.25 - xs[2] * 0.0625,
+            xs[2] * 0.0625 - xs[3] * (1.0 / 64.0),
+            xs[3] * (1.0 / 64.0),
+        ]
+        planes = [m0, m1, m2, p_s8]
+        sl = slice(b * qtr, (b + 1) * qtr)
+        for i in range(4):
+            cq, si = quant_rows(coefs[i])
+            d = jnp.dot(cq, planes[i][sl], preferred_element_type=jnp.int32)
+            if i == 3:  # p_s8 = p - 128: add back 128 per contracted code
+                d = d + 128 * jnp.sum(cq.astype(jnp.int32), axis=1, keepdims=True)
+            y_codes = y_codes + si * d.astype(jnp.float32)
+        xsum_all = xsum_all + jnp.sum(xs[0] + xs[1] + xs[2] + xs[3], axis=1,
+                                      keepdims=True)
+        row = jnp.minimum((k * k_tile + b * formats.PACK_BLOCK) // gs, n_groups - 1)
+        s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
+        acc_ref[:] += s * (y_codes - z * xsum_all)
+        y_codes = jnp.zeros(acc_ref.shape, jnp.float32)
+        xsum_all = jnp.zeros((x.shape[0], 1), jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -296,7 +428,7 @@ def _int2_kernel(
 
 def _uint8g_kernel(
     x_ref, qw_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, n_k: int, gs: int,
-    k_tile: int,
+    k_tile: int, n_groups: int = 1,
 ):
     """bits=8 rung of ``ColBlockQuantizedLinear``: same grouped asymmetric
     dequant epilogue as int4, no unpack (codes are whole bytes)."""
@@ -315,7 +447,7 @@ def _uint8g_kernel(
         qg = q[g * sub : (g + 1) * sub]
         partial = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
         xsum = jnp.sum(xg, axis=1, keepdims=True)
-        row = (k * k_tile + g * sub) // gs
+        row = jnp.minimum((k * k_tile + g * sub) // gs, n_groups - 1)
         s = scales_ref[pl.ds(row, 1), :].astype(jnp.float32)
         z = zeros_ref[pl.ds(row, 1), :].astype(jnp.float32)
         acc_ref[:] += (partial - xsum * z) * s
@@ -431,24 +563,25 @@ def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -
     Kp, Np = p.qw.shape[-2] * 2, p.qw.shape[-1]
     gs = Kp if p.group_size == -1 else p.group_size
     k_tile = _pick_k_tile(Kp)
-    if Kp % formats.PACK_BLOCK or gs % k_tile != 0:
+    if Kp % formats.PACK_BLOCK or (p.group_size != -1 and gs % k_tile != 0):
         return int4_matmul(p, x, layer)  # grouped finer than a tile: standard kernel
-    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // k_tile
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp, k_tile)
     n_groups = Kp // gs
+    nt = _pick_n_tile(Np, k_tile // 2, m_tile, 2 * n_groups)
+    n_k = -(-Kp // k_tile)
     kernel = functools.partial(_int4_w8a8_kernel, n_k=n_k, gs=gs, k_tile=k_tile)
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
             pl.BlockSpec(
-                (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+                (k_tile // 2, nt), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
         x.dtype,
-        layer=layer,
+        layer=layer, nt=nt,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
@@ -460,7 +593,7 @@ def int4_matmul_w8a8(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -
 
 def _codebook_kernel(
     x_ref, scale2_ref, qw_ref, scales_ref, out_ref, acc_ref, *, n_k: int, bs: int,
-    code: np.ndarray, k_tile: int,
+    code: np.ndarray, k_tile: int, total_blocks: int = 1 << 30,
 ):
     k = pl.program_id(2)
 
@@ -471,12 +604,19 @@ def _codebook_kernel(
     q = _unpack_tile(qw_ref[:])  # [k_tile, N_TILE] int32
     vals = _decode_code(q, code)  # [k_tile, N_TILE] f32
     blocks = k_tile // bs
-    raw = scales_ref[pl.ds(k * blocks, blocks), :]
-    if raw.dtype == jnp.int8:  # double-quant absmax
-        raw = raw.astype(jnp.int32)
-    # second-level scale (1.0 when not double-quantized) from SMEM
-    absmax = raw.astype(jnp.float32) * scale2_ref[0, 0]
-    w = (vals.reshape(blocks, bs, vals.shape[-1]) * absmax[:, None, :]).reshape(vals.shape)
+    # per-block absmax rows, clamped for partial K edge tiles: real blocks
+    # always resolve their true row; garbage blocks (zero activations) read
+    # the last real row — finite, contributes nothing
+    vb = vals.reshape(blocks, bs, vals.shape[-1])
+    parts = []
+    for i in range(blocks):
+        row = jnp.minimum(k * blocks + i, total_blocks - 1)
+        raw = scales_ref[pl.ds(row, 1), :]  # [1, N]
+        if raw.dtype == jnp.int8:  # double-quant absmax
+            raw = raw.astype(jnp.int32)
+        # second-level scale (1.0 when not double-quantized) from SMEM
+        parts.append(vb[i] * (raw.astype(jnp.float32) * scale2_ref[0, 0]))
+    w = jnp.concatenate(parts, axis=0)
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
@@ -492,13 +632,15 @@ def _codebook_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _prep_x(x: jnp.ndarray, Kp: int):
-    """Flatten leading dims, pad K and M. Returns (x2d, batch_shape, M)."""
+def _prep_x(x: jnp.ndarray, Kp: int, k_tile: int = 0):
+    """Flatten leading dims, pad K (to the k-tile multiple: the partial-K
+    edge tile contract needs zero activations beyond Kp) and M."""
     batch_shape = x.shape[:-1]
     M = int(np.prod(batch_shape)) if batch_shape else 1
     x2 = x.reshape(M, x.shape[-1])
-    if x2.shape[1] != Kp:
-        x2 = jnp.pad(x2, ((0, 0), (0, Kp - x2.shape[1])))
+    Kt = -(-Kp // k_tile) * k_tile if k_tile else Kp
+    if x2.shape[1] != Kt:
+        x2 = jnp.pad(x2, ((0, 0), (0, Kt - x2.shape[1])))
     m_tile = M_TILE if M > 8 else 8
     Mp = -(-M // m_tile) * m_tile
     if Mp != M:
@@ -507,21 +649,27 @@ def _prep_x(x: jnp.ndarray, Kp: int):
 
 
 def _pick_k_tile(Kp: int) -> int:
-    return K_TILE if Kp % K_TILE == 0 else formats.PACK_BLOCK
+    """Always the full K_TILE: a ragged Kp (falcon 18176 = 256 x 71, llama
+    11008) gets a PARTIAL EDGE TILE instead of degrading every step to
+    256-row DMAs (round 5: that degradation alone cost falcon-7b ~30%).
+    Safety: activations are zero-padded to the K_TILE multiple, so the
+    finite integer garbage in an out-of-bounds weight block multiplies
+    zeros; in-kernel scale-row indices clamp to the last real group."""
+    return K_TILE if Kp >= K_TILE else formats.PACK_BLOCK
 
 
 def _common_call(kernel, x2, Mp, Kp, Np, m_tile, k_tile, extra_specs, extra_args,
-                 out_dtype, *, layer=None, stacked=None):
-    # N edge blocks may be partial (masked by Pallas); K must divide exactly —
-    # a partial K tile would accumulate garbage rows into real outputs
-    assert Kp % k_tile == 0, (Kp, k_tile)
-    grid = (Mp // m_tile, pl.cdiv(Np, N_TILE), Kp // k_tile)
+                 out_dtype, *, layer=None, stacked=None, nt=None):
+    # N and K edge blocks may both be partial: N stores are masked by
+    # Pallas; the K contract is zero-padded activations (see _pick_k_tile)
+    nt = nt or _pick_n_tile(Np)
+    grid = (Mp // m_tile, pl.cdiv(Np, nt), pl.cdiv(Kp, k_tile))
     x_spec = pl.BlockSpec((m_tile, k_tile), lambda m, n, k: (m, k),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((m_tile, N_TILE), lambda m, n, k: (m, n),
+    out_spec = pl.BlockSpec((m_tile, nt), lambda m, n, k: (m, n),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((Mp, Np), out_dtype)
-    scratch = [pltpu.VMEM((m_tile, N_TILE), jnp.float32)]
+    scratch = [pltpu.VMEM((m_tile, nt), jnp.float32)]
     if layer is None:
         return pl.pallas_call(
             kernel, grid=grid, in_specs=[x_spec, *extra_specs],
@@ -574,18 +722,19 @@ def int8_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp
     if Kp % formats.PACK_BLOCK:
         return _xla_int8(p if layer is None else formats.take_layer(p, layer), x)
     k_tile = _pick_k_tile(Kp)
-    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    kernel = functools.partial(_int8_kernel, n_k=Kp // k_tile)
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp, k_tile)
+    nt = _pick_n_tile(Np, k_tile, m_tile, 1)
+    kernel = functools.partial(_int8_kernel, n_k=-(-Kp // k_tile))
     scales2d = p.scales.reshape((-1, 1, Np) if layer is not None else (1, Np))
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
-            pl.BlockSpec((k_tile, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tile, nt), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         [p.qw, scales2d],
         x.dtype,
-        layer=layer,
+        layer=layer, nt=nt,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
@@ -596,32 +745,36 @@ def int4_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp
     Kp, Np = p.qw.shape[-2] * 2, p.qw.shape[-1]
     gs = Kp if p.group_size == -1 else p.group_size
     k_tile = _pick_k_tile(Kp)
-    aligned = Kp % formats.PACK_BLOCK == 0 and (gs % k_tile == 0 or k_tile % gs == 0)
+    aligned = Kp % formats.PACK_BLOCK == 0 and (
+        p.group_size == -1 or gs % k_tile == 0 or k_tile % gs == 0)
     if not aligned:
         return _xla_dequant(p if layer is None else formats.take_layer(p, layer), x)
-    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // k_tile
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp, k_tile)
     n_groups = Kp // gs
+    nt = _pick_n_tile(Np, k_tile // 2, m_tile, 2 * n_groups)
+    n_k = -(-Kp // k_tile)
     if INT4_VARIANT == "2dot" and gs % formats.PACK_BLOCK == 0:
         kernel = functools.partial(
-            _int4_2dot_kernel, n_k=n_k, gs=gs, k_tile=k_tile, dot_f32=DOT_F32
+            _int4_2dot_kernel, n_k=n_k, gs=gs, k_tile=k_tile, dot_f32=DOT_F32,
+            n_groups=n_groups,
         )
     else:
-        kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs, k_tile=k_tile)
+        kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs, k_tile=k_tile,
+                                   n_groups=n_groups)
 
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
             pl.BlockSpec(
-                (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+                (k_tile // 2, nt), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             # all group rows for this n-tile; rows picked dynamically in-kernel
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
         x.dtype,
-        layer=layer,
+        layer=layer, nt=nt,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
@@ -633,24 +786,31 @@ def int2_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> jnp
     aligned = Kp % formats.PACK_BLOCK == 0 and gs % formats.PACK_BLOCK == 0
     if not aligned:
         return _xla_dequant(p if layer is None else formats.take_layer(p, layer), x)
-    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // k_tile
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp, k_tile)
     n_groups = Kp // gs
-    kernel = functools.partial(
-        _int2_kernel, n_k=n_k, gs=gs, k_tile=k_tile, dot_f32=DOT_F32
-    )
+    nt = _pick_n_tile(Np, k_tile // 4, m_tile, 2 * n_groups)
+    n_k = -(-Kp // k_tile)
+    if W8A8:
+        kernel = functools.partial(
+            _int2_w8a8_kernel, n_k=n_k, gs=gs, k_tile=k_tile, n_groups=n_groups
+        )
+    else:
+        kernel = functools.partial(
+            _int2_kernel, n_k=n_k, gs=gs, k_tile=k_tile, dot_f32=DOT_F32,
+            n_groups=n_groups,
+        )
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
             pl.BlockSpec(
-                (k_tile // 4, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+                (k_tile // 4, nt), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
         x.dtype,
-        layer=layer,
+        layer=layer, nt=nt,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
@@ -659,24 +819,26 @@ def uint8g_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray, layer=None) -> j
     Kp, Np = p.qw.shape[-2:]
     gs = Kp if p.group_size == -1 else p.group_size
     k_tile = _pick_k_tile(Kp)
-    aligned = Kp % formats.PACK_BLOCK == 0 and (gs % k_tile == 0 or k_tile % gs == 0)
+    aligned = Kp % formats.PACK_BLOCK == 0 and (
+        p.group_size == -1 or gs % k_tile == 0 or k_tile % gs == 0)
     if not aligned:
         return _xla_dequant(p if layer is None else formats.take_layer(p, layer), x)
-    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    kernel = functools.partial(
-        _uint8g_kernel, n_k=Kp // k_tile, gs=gs, k_tile=k_tile
-    )
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp, k_tile)
     n_groups = Kp // gs
+    nt = _pick_n_tile(Np, k_tile, m_tile, 2 * n_groups)
+    kernel = functools.partial(
+        _uint8g_kernel, n_k=-(-Kp // k_tile), gs=gs, k_tile=k_tile, n_groups=n_groups
+    )
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
-            pl.BlockSpec((k_tile, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tile, nt), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         [p.qw, p.scales.astype(jnp.float32), p.zeros.astype(jnp.float32)],
         x.dtype,
-        layer=layer,
+        layer=layer, nt=nt,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 
@@ -687,8 +849,9 @@ def _codebook_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
     k_tile = _pick_k_tile(Kp)
     if Kp % formats.PACK_BLOCK or k_tile % bs:
         return _xla_dequant(p, x)
-    x2, batch_shape, M, m_tile = _prep_x(x, Kp)
-    n_k = Kp // k_tile
+    x2, batch_shape, M, m_tile = _prep_x(x, Kp, k_tile)
+    nt = _pick_n_tile(Np, k_tile // 2, m_tile, Kp // bs)
+    n_k = -(-Kp // k_tile)
     # double-quant: fold the second-level scale into f32 absmax in XLA —
     # Mosaic cannot dynamic-load sub-tile i8 rows (vector<4x128xi8>), and the
     # f32 absmax adds only ~6% to the streamed bytes in -dq mode
@@ -698,22 +861,24 @@ def _codebook_matmul(p: "formats.QuantizedLinear", x: jnp.ndarray) -> jnp.ndarra
         scales_arr = p.scales.astype(jnp.float32)
     scale2 = jnp.ones((1, 1), jnp.float32)
     kernel = functools.partial(
-        _codebook_kernel, n_k=n_k, bs=bs, code=formats._CODEBOOKS[p.fmt], k_tile=k_tile
+        _codebook_kernel, n_k=n_k, bs=bs, code=formats._CODEBOOKS[p.fmt],
+        k_tile=k_tile, total_blocks=Kp // bs,
     )
     y = _common_call(
         kernel, x2, x2.shape[0], Kp, Np, m_tile, k_tile,
         [
             pl.BlockSpec((1, 1), lambda m, n, k: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (k_tile // 2, N_TILE), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+                (k_tile // 2, nt), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             # all absmax rows for this n-tile; k-tile rows sliced in-kernel
             pl.BlockSpec(
-                (Kp // bs, N_TILE), lambda m, n, k: (0, n), memory_space=pltpu.VMEM
+                (Kp // bs, nt), lambda m, n, k: (0, n), memory_space=pltpu.VMEM
             ),
         ],
         [scale2, p.qw, scales_arr],
         x.dtype,
+        nt=nt,
     )
     return y[:M, : p.out_features].reshape(batch_shape + (p.out_features,))
 

@@ -53,6 +53,7 @@ def main(
     model: str = "stablelm-base-alpha-3b",
     variants: str = "2dot-f32,w8a8",
     steps: int = 8,
+    quantize: str = "gptq.int4",
     out_dir: Path = Path("out/traces"),
 ) -> dict:
     import functools
@@ -68,7 +69,7 @@ def main(
     for variant in variants.split(","):
         variant = variant.strip()
         pallas_quant.set_int4_variant(variant)
-        params = api.init_quantized_params(config, jax.random.PRNGKey(0), "gptq.int4")
+        params = api.init_quantized_params(config, jax.random.PRNGKey(0), quantize)
         jax.block_until_ready(params)
         cache = gpt.KVCache.init(config, 1, 512, dtype=jnp.int8)
 

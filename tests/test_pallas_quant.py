@@ -266,3 +266,115 @@ def test_int2_int8g_stacked_layer_prefetch(fmt):
         got = fn(stacked, x, layer=jnp.asarray(l, jnp.int32))
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("group_size", [-1, 256, 512])
+def test_int2_w8a8_kernel(group_size, monkeypatch):
+    """The mask-telescoped int8-MXU int2 kernel tracks the dequant oracle
+    within W8A8 activation-quantization noise."""
+    monkeypatch.setattr(pallas_quant, "W8A8", True)
+    K, N = 512, 384
+    w = jax.random.normal(jax.random.PRNGKey(30), (K, N)) * 0.1
+    p = formats.quantize_int2(w, group_size=group_size)
+    x = mk_x(1, K, seed=31)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int2_matmul(p, x)
+    err = np.abs(np.asarray(actual) - np.asarray(expected)).max()
+    scale = np.abs(np.asarray(expected)).max()
+    assert err / scale < 0.02, err / scale
+
+
+def test_int2_w8a8_mask_telescope_exact_on_integer_activations(monkeypatch):
+    """With activation quarters that quantize exactly (integer coefficients
+    that fit int8 scales), the mask-telescoped identity is EXACT — proving
+    q1=(m1-m0)/4, q2=(m2-m1)/16, q3=(p-m2)/64 and the p-128 correction."""
+    monkeypatch.setattr(pallas_quant, "W8A8", True)
+    K, N = 256, 256
+    rng = np.random.RandomState(32)
+    w = jnp.asarray(rng.randint(-2, 2, (K, N)), jnp.float32)
+    p = formats.quantize_int2(w, group_size=-1)
+    # build the COEFFICIENTS as integers with absmax exactly 127 (so the
+    # per-row scale is 1.0 and int8 quantization is bit-lossless), then
+    # invert the telescoping to get the activation quarters:
+    #   x3 = 64 c3;  x2 = 16(c2 + c3);  x1 = 4(c1 + c2 + c3);
+    #   x0 = c0 + c1 + c2 + c3
+    c = rng.randint(-40, 41, (4, 64)).astype(np.float64)
+    for i in range(4):
+        c[i, i] = 127.0  # pin each row's absmax to exactly 127
+    x = np.zeros((1, K), np.float64)
+    x[0, :64] = c[0] + c[1] + c[2] + c[3]
+    x[0, 64:128] = 4.0 * (c[1] + c[2] + c[3])
+    x[0, 128:192] = 16.0 * (c[2] + c[3])
+    x[0, 192:] = 64.0 * c[3]
+    x = jnp.asarray(x, jnp.float32)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int2_matmul(p, x)
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=0, atol=2e-1)
+
+
+def test_int2_w8a8_stacked_layer_prefetch(monkeypatch):
+    monkeypatch.setattr(pallas_quant, "W8A8", True)
+    L, K, N = 3, 512, 384
+    ws = [jax.random.normal(jax.random.PRNGKey(40 + i), (K, N)) * 0.1 for i in range(L)]
+    ps = [formats.quantize_int2(w, group_size=-1) for w in ws]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *ps)
+    x = mk_x(1, K, seed=41)
+    for l in range(L):
+        expected = pallas_quant.int2_matmul(ps[l], x)
+        got = pallas_quant.int2_matmul(stacked, x, layer=jnp.asarray(l, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("fmt", ["int2", "int4", "int8", "int8g", "nf4"])
+@pytest.mark.parametrize("m", [1, 4])
+def test_ragged_k_partial_edge_tile(fmt, m, monkeypatch):
+    """K that is a PACK_BLOCK multiple but NOT a K_TILE multiple (falcon
+    18176 = 256x71, llama 11008) must run the Pallas path with a partial K
+    edge tile — zero-padded activations against finite garbage weights —
+    and match the oracle. Fallback to XLA dequant would hide a regression,
+    so it is forbidden here."""
+    def forbid(p, x):
+        raise AssertionError("ragged-K shape fell back to XLA dequant")
+
+    monkeypatch.setattr(pallas_quant, "_xla_dequant", forbid)
+    monkeypatch.setattr(pallas_quant, "_xla_int8", forbid)
+    K, N = 1280, 384  # Kp = 1280 = 2.5 * K_TILE
+    w = jax.random.normal(jax.random.PRNGKey(50), (K, N)) * 0.1
+    x = mk_x(m, K, seed=51)
+    if fmt == "int2":
+        p = formats.quantize_int2(w)
+        fn = pallas_quant.int2_matmul
+    elif fmt == "int4":
+        p = formats.quantize_int4(w)
+        fn = pallas_quant.int4_matmul
+    elif fmt == "int8":
+        p = formats.quantize_int8(w)
+        fn = pallas_quant.int8_matmul
+    elif fmt == "int8g":
+        p = formats.quantize_int8g(w)
+        fn = pallas_quant.uint8g_matmul
+    else:
+        p = formats.quantize_nf4(w, block_size=64)
+        fn = pallas_quant.int4_matmul
+    expected = x @ formats.dequantize(p)
+    actual = fn(p, x)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_ragged_k_grouped_int4(monkeypatch):
+    """Grouped scales + ragged K: real blocks resolve their true scale rows;
+    garbage blocks clamp (and contribute nothing)."""
+    monkeypatch.setattr(
+        pallas_quant, "_xla_dequant",
+        lambda p, x: (_ for _ in ()).throw(AssertionError("fell back")))
+    K, N = 1280, 256
+    w = jax.random.normal(jax.random.PRNGKey(52), (K, N)) * 0.1
+    p = formats.quantize_int4(w, group_size=256)
+    x = mk_x(2, K, seed=53)
+    expected = x @ formats.dequantize(p)
+    actual = pallas_quant.int4_matmul(p, x)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
+                               rtol=2e-2, atol=2e-2)
