@@ -165,17 +165,19 @@ def main(
     from parrot_tpu.ops import pallas_quant
 
     if jax.default_backend() == "tpu":
-        q4 = api.quantize_params(params, config, "gptq.int4")
         pallas_quant.set_int4_variant("w8a8")
         try:
-            fwd_w8a8 = jax.jit(lambda p, t: gpt.forward(p, config, t))
-            logits = fwd_w8a8(q4, eval_tokens)
-            v = float(jnp.exp(cross_entropy(
-                logits[:, :-1].astype(jnp.float32), eval_tokens[:, 1:])))
-            report("gptq.int4 + W8A8 kernel", v, fp_ppl)
+            for mode, label in (("gptq.int4", "gptq.int4 + W8A8 kernel"),
+                                ("gptq.int2", "gptq.int2 + W8A8 kernel")):
+                qm = api.quantize_params(params, config, mode)
+                fwd_w8a8 = jax.jit(lambda p, t: gpt.forward(p, config, t))
+                logits = fwd_w8a8(qm, eval_tokens)
+                v = float(jnp.exp(cross_entropy(
+                    logits[:, :-1].astype(jnp.float32), eval_tokens[:, 1:])))
+                report(label, v, fp_ppl)
+                del qm
         finally:
             pallas_quant.set_int4_variant("2dot-f32")
-        del q4
 
     # int8 KV-cache effect (greedy top-1 agreement + cached ppl proxy)
     tok = eval_tokens[:1]
