@@ -88,35 +88,36 @@ def _kernel(
 
     q = q_ref[0].astype(jnp.float32)  # [n_head_pad, H]
     k = k_ref[0].astype(jnp.float32)  # [ps, G, H]
+    HP = m_ref.shape[0]  # n_head_pad
+    H = k.shape[-1]
 
-    # scores per group: rows h = g*qpk + q_in_group
-    pieces = []
-    for g in range(G):
-        qg = q[g * qpk : (g + 1) * qpk] if G > 1 else q  # padded rows ride along
-        kg = k[:, g, :]  # [ps, H]
-        s_g = jax.lax.dot_general(
-            qg, kg, (((1,), (1,)), ((), ())),
+    if G == 1:
+        # MQA fast path (falcon): one dot, no group bookkeeping
+        scores = jax.lax.dot_general(
+            q, k[:, 0, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [rows_g, ps]
-        pieces.append(s_g)
-    scores = pieces[0] if G == 1 else jnp.concatenate(pieces, axis=0)
-    if scores.shape[0] != m_ref.shape[0]:  # G>1: pad rows back to n_head_pad
-        scores = jnp.pad(scores, ((0, m_ref.shape[0] - scores.shape[0]), (0, 0)))
+        )  # [HP, ps]
+        if quantized:
+            scores = scores * ks_ref[0][:, 0][None, :].astype(jnp.float32)
+    else:
+        # GQA/MHA: Mosaic rejects assembling per-group score rows with
+        # concatenate ("offset mismatch on non-concat dimension"), so
+        # compute ALL (head, s, group) products with ONE dot against the
+        # flattened [ps*G, H] keys and mask-reduce over the group axis
+        # (head h attends group h // qpk). G x extra MXU work on a tensor
+        # that is tiny next to the weight stream.
+        k2 = k.reshape(ps * G, H)
+        all_sc = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(HP, ps, G)
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (HP, 1, G), 0)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (HP, 1, G), 2)
+        gmask = (h_ids // qpk == g_ids).astype(jnp.float32)  # [HP, 1, G]
+        if quantized:
+            all_sc = all_sc * ks_ref[0][None, :, :].astype(jnp.float32)
+        scores = jnp.sum(all_sc * gmask, axis=2)  # [HP, ps]
     scores = scores * jnp.float32(scale)
-    if quantized:
-        ks = ks_ref[0].astype(jnp.float32)  # [ps, G]
-        if G == 1:
-            scores = scores * ks[:, 0][None, :]
-        else:
-            ks_rows = jnp.concatenate(
-                [jnp.broadcast_to(ks[:, g][None, :], (qpk, ps)) for g in range(G)],
-                axis=0,
-            )
-            ks_rows = jnp.pad(
-                ks_rows, ((0, m_ref.shape[0] - G * qpk), (0, 0)),
-                constant_values=1.0,
-            )
-            scores = scores * ks_rows
 
     # validity: same expression as forward_decode_batched's mask
     pos = pos_ref[b]
@@ -135,21 +136,23 @@ def _kernel(
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     v = v_ref[0].astype(jnp.float32)  # [ps, G, H]
-    if quantized:
-        vs = vs_ref[0].astype(jnp.float32)  # [ps, G]
-    outs = []
-    for g in range(G):
-        pg = p[g * qpk : (g + 1) * qpk] if G > 1 else p  # [rows_g, ps]
-        if quantized:
-            pg = pg * vs[:, g][None, :]
-        vg = v[:, g, :]  # [ps, H]
-        outs.append(jax.lax.dot_general(
-            pg, vg, (((1,), (0,)), ((), ())),
+    if G == 1:
+        pg = p * vs_ref[0][:, 0][None, :].astype(jnp.float32) if quantized else p
+        o = jax.lax.dot_general(
+            pg, v[:, 0, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))  # [rows_g, H]
-    o = outs[0] if G == 1 else jnp.concatenate(outs, axis=0)
-    if o.shape[0] != acc_ref.shape[0]:
-        o = jnp.pad(o, ((0, acc_ref.shape[0] - o.shape[0]), (0, 0)))
+        )  # [HP, H]
+    else:
+        # spread probs to [HP, ps, G] with the same group mask (v_scale folds
+        # here), flatten, and contract against the flattened values
+        p_all = p[:, :, None] * gmask  # [HP, ps, G]
+        if quantized:
+            p_all = p_all * vs_ref[0][None, :, :].astype(jnp.float32)
+        o = jax.lax.dot_general(
+            p_all.reshape(HP, ps * G), v.reshape(ps * G, H),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     acc_ref[:] = acc_ref[:] * alpha + o
 
     @pl.when(j == n_pages - 1)
