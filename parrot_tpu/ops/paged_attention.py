@@ -54,29 +54,37 @@ def _round_up(n: int, m: int) -> int:
 
 def _kernel(
     # scalar prefetch
-    pt_ref,   # [B * n_pages] int32 page table (clamped in index maps)
+    pt_ref,   # [B * n_pages] int32 page table (clamped device-side)
     pos_ref,  # [B] int32 positions
     # inputs
-    q_ref,    # [1, n_head_pad, H]
-    k_ref,    # [1, ps, G, H]
+    q_ref,    # [1, G*qpk_pad, H]  (queries, per-group padded to 8 rows)
+    k_ref,    # [1, ps, G, H]      (one whole pool page)
     v_ref,    # [1, ps, G, H]
     ks_ref,   # [1, ps, G] or None (int8 KV)
     vs_ref,   # [1, ps, G] or None
     # output
-    out_ref,  # [1, n_head_pad, H]
+    out_ref,  # [1, G*qpk_pad, H]
     # scratch
-    m_ref,    # [n_head_pad, LANES] f32 running max (lane-broadcast)
-    l_ref,    # [n_head_pad, LANES] f32 running denom
-    acc_ref,  # [n_head_pad, H] f32 output accumulator
+    m_ref,    # [G*qpk_pad, LANES] f32 running max (lane-broadcast)
+    l_ref,    # [G*qpk_pad, LANES] f32 running denom
+    acc_ref,  # [G*qpk_pad, H] f32 output accumulator
     *,
     ps: int,
     G: int,
-    qpk: int,
+    qpk_pad: int,
     n_pages: int,
     S: int,
     scale: float,
     quantized: bool,
 ):
+    """One grid step = one slot x one page (whole page DMA'd once — Pallas
+    requires full or (8,128)-divisible trailing block dims, so a per-group
+    page slice is not expressible as a block). Groups run as an unrolled
+    in-kernel loop whose statistics live at 8-ALIGNED static row offsets of
+    the shared scratch (qpk padded to 8 per group) — aligned ref slicing is
+    Mosaic-legal where the concat/reshape assemblies of earlier drafts were
+    not ("offset mismatch on non-concat dimension" / "unsupported shape
+    cast")."""
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -86,74 +94,41 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # [n_head_pad, H]
-    k = k_ref[0].astype(jnp.float32)  # [ps, G, H]
-    HP = m_ref.shape[0]  # n_head_pad
-    H = k.shape[-1]
-
-    if G == 1:
-        # MQA fast path (falcon): one dot, no group bookkeeping
-        scores = jax.lax.dot_general(
-            q, k[:, 0, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [HP, ps]
-        if quantized:
-            scores = scores * ks_ref[0][:, 0][None, :].astype(jnp.float32)
-    else:
-        # GQA/MHA: Mosaic rejects assembling per-group score rows with
-        # concatenate ("offset mismatch on non-concat dimension"), so
-        # compute ALL (head, s, group) products with ONE dot against the
-        # flattened [ps*G, H] keys and mask-reduce over the group axis
-        # (head h attends group h // qpk). G x extra MXU work on a tensor
-        # that is tiny next to the weight stream.
-        k2 = k.reshape(ps * G, H)
-        all_sc = jax.lax.dot_general(
-            q, k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(HP, ps, G)
-        h_ids = jax.lax.broadcasted_iota(jnp.int32, (HP, 1, G), 0)
-        g_ids = jax.lax.broadcasted_iota(jnp.int32, (HP, 1, G), 2)
-        gmask = (h_ids // qpk == g_ids).astype(jnp.float32)  # [HP, 1, G]
-        if quantized:
-            all_sc = all_sc * ks_ref[0][None, :, :].astype(jnp.float32)
-        scores = jnp.sum(all_sc * gmask, axis=2)  # [HP, ps]
-    scores = scores * jnp.float32(scale)
-
-    # validity: same expression as forward_decode_batched's mask
     pos = pos_ref[b]
     idx = j * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-    valid = (idx <= pos) | (pos >= S)  # [1, ps]
-    scores = jnp.where(valid, scores, NEG_INF)
+    valid = (idx <= pos) | (pos >= S)  # same mask as forward_decode_batched
 
-    # online softmax update (flash_attention.py conventions)
-    m_prev = m_ref[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)  # [n_head_pad, ps]
-    l_ref[:] = jnp.broadcast_to(
-        alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
-    )
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-
-    v = v_ref[0].astype(jnp.float32)  # [ps, G, H]
-    if G == 1:
-        pg = p * vs_ref[0][:, 0][None, :].astype(jnp.float32) if quantized else p
-        o = jax.lax.dot_general(
-            pg, v[:, 0, :], (((1,), (0,)), ((), ())),
+    k3 = k_ref[0]  # [ps, G, H]
+    v3 = v_ref[0]
+    for g in range(G):
+        sl = slice(g * qpk_pad, (g + 1) * qpk_pad)
+        q = q_ref[0, sl].astype(jnp.float32)      # [qpk_pad, H]
+        kg = k3[:, g, :].astype(jnp.float32)      # [ps, H]
+        scores = jax.lax.dot_general(
+            q, kg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [HP, H]
-    else:
-        # spread probs to [HP, ps, G] with the same group mask (v_scale folds
-        # here), flatten, and contract against the flattened values
-        p_all = p[:, :, None] * gmask  # [HP, ps, G]
+        )  # [qpk_pad, ps]
         if quantized:
-            p_all = p_all * vs_ref[0][None, :, :].astype(jnp.float32)
-        o = jax.lax.dot_general(
-            p_all.reshape(HP, ps * G), v.reshape(ps * G, H),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            scores = scores * ks_ref[0][:, g][None, :].astype(jnp.float32)
+        scores = jnp.where(valid, scores * jnp.float32(scale), NEG_INF)
+
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[sl, :] = jnp.broadcast_to(
+            alpha * l_ref[sl, :1] + jnp.sum(p, axis=1, keepdims=True),
+            (qpk_pad, l_ref.shape[1]),
         )
-    acc_ref[:] = acc_ref[:] * alpha + o
+        m_ref[sl, :] = jnp.broadcast_to(m_new, (qpk_pad, m_ref.shape[1]))
+
+        vg = v3[:, g, :].astype(jnp.float32)  # [ps, H]
+        if quantized:
+            p = p * vs_ref[0][:, g][None, :].astype(jnp.float32)
+        o = jax.lax.dot_general(
+            p, vg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc_ref[sl, :] = acc_ref[sl, :] * alpha + o
 
     @pl.when(j == n_pages - 1)
     def _():
@@ -178,19 +153,21 @@ def paged_attention_decode(
     n_pages = page_table.shape[1]
     S = n_pages * ps
     qpk = n_head // G
-    n_head_pad = _round_up(n_head, 8)
+    qpk_pad = _round_up(qpk, 8)
     quantized = k_scale is not None
 
-    qp = q if n_head_pad == n_head else jnp.pad(
-        q, ((0, 0), (0, n_head_pad - n_head), (0, 0)))
+    # per-group 8-row padding: [B, n_head, H] -> [B, G*qpk_pad, H]
+    q4 = q.reshape(B, G, qpk, H)
+    if qpk_pad != qpk:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, qpk_pad - qpk), (0, 0)))
+    qg = q4.reshape(B, G * qpk_pad, H)
 
-    # clamp the table host^H^Hdevice-side once; index maps only read it
     pt_flat = jnp.maximum(page_table, 0).reshape(-1).astype(jnp.int32)
     pos = positions.astype(jnp.int32)
 
     grid = (B, n_pages)
     q_spec = pl.BlockSpec(
-        (1, n_head_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
+        (1, G * qpk_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
         memory_space=pltpu.VMEM)
     page_spec = pl.BlockSpec(
         (1, ps, G, H),
@@ -201,15 +178,15 @@ def paged_attention_decode(
         lambda b, j, pt, ps_, _np=n_pages: (pt[b * _np + j], 0, 0),
         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, n_head_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
+        (1, G * qpk_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
         memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _kernel, ps=ps, G=G, qpk=qpk, n_pages=n_pages, S=S, scale=scale,
-        quantized=quantized,
+        _kernel, ps=ps, G=G, qpk_pad=qpk_pad, n_pages=n_pages, S=S,
+        scale=scale, quantized=quantized,
     )
     in_specs = [q_spec, page_spec, page_spec]
-    args = [qp, pool_k, pool_v]
+    args = [qg, pool_k, pool_v]
     if quantized:
         in_specs += [scale_spec, scale_spec]
         args += [k_scale, v_scale]
@@ -225,17 +202,17 @@ def paged_attention_decode(
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((n_head_pad, LANES), jnp.float32),  # running max
-            pltpu.VMEM((n_head_pad, LANES), jnp.float32),  # running denom
-            pltpu.VMEM((n_head_pad, H), jnp.float32),      # accumulator
+            pltpu.VMEM((G * qpk_pad, LANES), jnp.float32),  # running max
+            pltpu.VMEM((G * qpk_pad, LANES), jnp.float32),  # running denom
+            pltpu.VMEM((G * qpk_pad, H), jnp.float32),      # accumulator
         ],
     )
     out = pl.pallas_call(
         body, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_head_pad, H), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, G * qpk_pad, H), q.dtype),
         interpret=_INTERPRET,
     )(pt_flat, pos, *args)
-    return out[:, :n_head]
+    return out.reshape(B, G, qpk_pad, H)[:, :, :qpk].reshape(B, n_head, H)
 
 
 def use_kernel(on_tpu: bool, page_size: int, H: int) -> bool:
