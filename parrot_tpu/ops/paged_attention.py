@@ -169,13 +169,23 @@ def paged_attention_decode(
     q_spec = pl.BlockSpec(
         (1, G * qpk_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
         memory_space=pltpu.VMEM)
+    # LIVE-PAGE clamp: pages past the slot's position map to its last live
+    # page, so consecutive grid steps see a REPEATED block index and Pallas
+    # skips the redundant DMA — paged attention bytes stay proportional to
+    # LIVE tokens (the whole point of paging), not to pages_per_slot. The
+    # in-kernel mask uses the raw grid j, so repeated pages contribute
+    # nothing. Rolled windows (pos >= S) leave every page live.
+    def _live_page(b, j, pt, pos_, _np=n_pages, _ps=ps):
+        jl = jnp.minimum(j, jnp.maximum(pos_[b], 0) // _ps)
+        return pt[b * _np + jl]
+
     page_spec = pl.BlockSpec(
         (1, ps, G, H),
-        lambda b, j, pt, ps_, _np=n_pages: (pt[b * _np + j], 0, 0, 0),
+        lambda b, j, pt, ps_: (_live_page(b, j, pt, ps_), 0, 0, 0),
         memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec(
         (1, ps, G),
-        lambda b, j, pt, ps_, _np=n_pages: (pt[b * _np + j], 0, 0),
+        lambda b, j, pt, ps_: (_live_page(b, j, pt, ps_), 0, 0),
         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
         (1, G * qpk_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
