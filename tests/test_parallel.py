@@ -171,3 +171,26 @@ def test_sharded_ragged_batch_generate_parity():
         sp, CFG, prompts, lengths, jax.random.PRNGKey(0), **kw)
     np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
     np.testing.assert_array_equal(np.asarray(al), np.asarray(el))
+
+
+def test_sharded_int2_int8kv_generate_parity():
+    """The 2-bit format (the falcon-7b direct-decode headline) under
+    tensor+fsdp sharding: same greedy tokens as one device — the Megatron
+    split composes with the blocked split-quarter packing (each shard's K
+    range is whole pack blocks)."""
+    from parrot_tpu.generate import engine
+    from parrot_tpu.quantize import api as quant_api
+
+    params = gpt.init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+    qparams = quant_api.quantize_params(
+        jax.tree.map(lambda x: x, params), CFG, "gptq.int2"
+    )
+    prompt = jnp.array([3, 9, 4, 2], jnp.int32)
+    kw = dict(max_returned_tokens=12, temperature=0.0, cache_dtype=jnp.int8)
+    expected, n = engine.generate(qparams, CFG, prompt, jax.random.PRNGKey(0), **kw)
+
+    mesh = mesh_lib.make_mesh(1, 2, 4)
+    sq = sharding.shard_params(mesh, qparams)
+    actual, n2 = engine.generate(sq, CFG, prompt, jax.random.PRNGKey(0), **kw)
+    np.testing.assert_array_equal(np.asarray(actual), np.asarray(expected))
+    assert int(n) == int(n2)
