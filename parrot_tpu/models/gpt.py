@@ -268,13 +268,17 @@ def attn_forward(
 
     new_kv = None
     if kv is not None and page_table is not None:
-        # paged ragged decode (T == 1): ``kv`` holds the per-layer PAGE POOL
-        # ([P, page, G, H] codes, no batch dim — sequences own disjoint pages
-        # via ``page_table``; page 0 is the trash page for unallocated slots).
-        # Write this token's K/V into its page row, then gather the slot's
-        # pages into a contiguous [B, S, G, H] view for attention — page-
-        # granular DMA reads, same bytes as the contiguous cache.
-        ps = kv[0].shape[1]
+        # paged ragged decode (T == 1): ``kv`` holds the PAGE POOL — either
+        # this layer's [P, page, G, H] slab (legacy per-layer form) or the
+        # FULL STACKED [L, P, page, G, H] pool carried through the layer scan
+        # (``layer_id`` names this layer). The stacked form is the fast path:
+        # the pool never rides the scan's xs/ys, so XLA stops materializing a
+        # full slab copy in and out per layer per decode step (PERF.md r5 —
+        # that traffic, 2x pool size per step, dominated wide paged serving).
+        # Sequences own disjoint pages via ``page_table``; page 0 is the
+        # trash page for unallocated slots.
+        stacked = kv[0].ndim == 5
+        ps = kv[0].shape[2] if stacked else kv[0].shape[1]
         B_idx = jnp.arange(B)
         # the WRITE index needs the trash-page clamp too: a freed slot (its
         # request just preempted/retired mid-step) carries -1 entries, and an
@@ -284,9 +288,21 @@ def attn_forward(
         row = slot % ps
         pt = jnp.maximum(page_table, 0)  # trash-page clamp for unallocated
         S = page_table.shape[1] * ps
-        G, H = kv[0].shape[2], kv[0].shape[3]
+        G, H = kv[0].shape[-2], kv[0].shape[-1]
         from parrot_tpu.ops import paged_attention as pa
         from parrot_tpu.ops.quant_matmul import _on_tpu
+
+        if stacked:
+            # token write lands at [layer_id, page, row]; the scatter is in
+            # place on the donated scan carry (XLA aliases it), so write
+            # bytes stay O(token), not O(pool)
+            widx = (layer_id, page_of, row)
+            kw = dict(layer=layer_id)
+            slab = lambda a: lax.dynamic_index_in_dim(a, layer_id, keepdims=False)
+        else:
+            widx = (page_of, row)
+            kw = {}
+            slab = lambda a: a
 
         # fused splash-style kernel (no page gather) when available: one grid
         # step per (slot, page), page ids via scalar prefetch, online softmax
@@ -297,36 +313,39 @@ def attn_forward(
             cache_k, cache_v, ks, vs = kv
             kq, k_sc = _quantize_kv(k)
             vq, v_sc = _quantize_kv(v)
-            cache_k = cache_k.at[page_of, row].set(kq[:, 0])
-            cache_v = cache_v.at[page_of, row].set(vq[:, 0])
-            ks = ks.at[page_of, row].set(k_sc[:, 0])
-            vs = vs.at[page_of, row].set(v_sc[:, 0])
+            cache_k = cache_k.at[widx].set(kq[:, 0])
+            cache_v = cache_v.at[widx].set(vq[:, 0])
+            ks = ks.at[widx].set(k_sc[:, 0])
+            vs = vs.at[widx].set(v_sc[:, 0])
             new_kv = (cache_k, cache_v, ks, vs)
             if fused:
                 y = pa.paged_attention_decode(
                     q[:, 0], cache_k, cache_v, page_table, positions,
-                    scale=scale, k_scale=ks, v_scale=vs,
+                    scale=scale, k_scale=ks, v_scale=vs, **kw,
                 )[:, None]
             else:
                 y = attention(
-                    q, cache_k[pt].reshape(B, S, G, H), cache_v[pt].reshape(B, S, G, H),
+                    q, slab(cache_k)[pt].reshape(B, S, G, H),
+                    slab(cache_v)[pt].reshape(B, S, G, H),
                     scale=scale, mask=mask,
-                    k_scale=ks[pt].reshape(B, S, G), v_scale=vs[pt].reshape(B, S, G),
+                    k_scale=slab(ks)[pt].reshape(B, S, G),
+                    v_scale=slab(vs)[pt].reshape(B, S, G),
                 )
         else:
             cache_k, cache_v = kv
-            cache_k = cache_k.at[page_of, row].set(k[:, 0].astype(cache_k.dtype))
-            cache_v = cache_v.at[page_of, row].set(v[:, 0].astype(cache_v.dtype))
+            cache_k = cache_k.at[widx].set(k[:, 0].astype(cache_k.dtype))
+            cache_v = cache_v.at[widx].set(v[:, 0].astype(cache_v.dtype))
             new_kv = (cache_k, cache_v)
             if fused:
                 # the kernel casts page blocks to f32 in VMEM — no pool-wide cast
                 y = pa.paged_attention_decode(
-                    q[:, 0], cache_k, cache_v, page_table, positions, scale=scale,
+                    q[:, 0], cache_k, cache_v, page_table, positions,
+                    scale=scale, **kw,
                 )[:, None]
             else:
                 y = attention(
-                    q, cache_k[pt].reshape(B, S, G, H).astype(q.dtype),
-                    cache_v[pt].reshape(B, S, G, H).astype(q.dtype),
+                    q, slab(cache_k)[pt].reshape(B, S, G, H).astype(q.dtype),
+                    slab(cache_v)[pt].reshape(B, S, G, H).astype(q.dtype),
                     scale=scale, mask=mask,
                 )
     elif kv is not None and slot is not None and getattr(slot, "ndim", 0) == 1:
@@ -788,14 +807,89 @@ def forward_decode_batched(
     layer_ids = jnp.arange(config.n_layer)
     rest, qmap = _split_qlin(params["blocks"])
     cache_cls = type(cache)
-    if cache.quantized:
+    implicit_view = None
+    if page_table is None:
+        # contiguous ragged decode, TPU fast path: view the [L, B, S, ...]
+        # cache as an implicitly-paged pool (an IDENTITY page table over a
+        # free reshape — page b*(S/ps)+j holds slot b's rows [j*ps,(j+1)*ps)).
+        # This routes the contiguous path through the same carry-based scan +
+        # splash kernel as true paging, which buys it the two paged wins with
+        # zero allocator machinery: (1) the cache stops riding the scan as
+        # xs/ys, killing the full-slab materialization per layer per step;
+        # (2) the kernel's live-page clamp stops reading rows past each
+        # slot's position. CPU/odd-shape fallback keeps the exact original
+        # program (bit-identical tokens for seeded tests).
+        from parrot_tpu.ops import paged_attention as pa
+        from parrot_tpu.ops.quant_matmul import _on_tpu
+
+        ps_view = next((p for p in (128, 64, 32, 16, 8) if S % p == 0), 0)
+        if ps_view and pa.use_kernel(_on_tpu(), ps_view, config.head_size):
+            npp = S // ps_view
+            page_table = (
+                jnp.arange(B, dtype=jnp.int32)[:, None] * npp
+                + jnp.arange(npp, dtype=jnp.int32)[None, :]
+            )
+            implicit_view = (B, S)
+
+            def _to_pool(a):
+                return a.reshape((a.shape[0], B * npp, ps_view) + a.shape[3:])
+
+            cache = (
+                cache_cls(k=_to_pool(cache.k), v=_to_pool(cache.v),
+                          k_scale=_to_pool(cache.k_scale),
+                          v_scale=_to_pool(cache.v_scale))
+                if cache.quantized
+                else cache_cls(k=_to_pool(cache.k), v=_to_pool(cache.v))
+            )
+    if page_table is not None:
+        # the page POOL rides the scan CARRY (full stacked [L, P, ps, G, H]
+        # arrays, updated by a layer-indexed in-place scatter) instead of
+        # being split into per-layer xs/ys — the xs/ys form made XLA
+        # materialize every layer's full pool slab on the way in and write a
+        # full slab on the way out each decode step, so paged HBM traffic
+        # scaled with pool size instead of live tokens (PERF.md round 5: THE
+        # wide-paged-serving bottleneck). The splash kernel reads pages from
+        # the stacked pool via a layer scalar-prefetch index map, mirroring
+        # the stacked quantized-weight treatment in _split_qlin.
+        if cache.quantized:
+            def step(carry, layer):
+                x, pk, pv, pks, pvs = carry
+                rest_l, layer_id = layer
+                p_layer = _merge_qlin(rest_l, qmap, layer_id)
+                x, (pk, pv, pks, pvs) = block_forward(
+                    p_layer, config, x, cos, sin, kv=(pk, pv, pks, pvs),
+                    slot=slot, mask=mask, layer_id=layer_id,
+                    page_table=page_table, positions=positions,
+                )
+                return (x, pk, pv, pks, pvs), None
+
+            (x, nk, nv, nks, nvs), _ = lax.scan(
+                step, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+                (rest, layer_ids),
+            )
+            new_cache = cache_cls(k=nk, v=nv, k_scale=nks, v_scale=nvs)
+        else:
+            def step(carry, layer):
+                x, pk, pv = carry
+                rest_l, layer_id = layer
+                p_layer = _merge_qlin(rest_l, qmap, layer_id)
+                x, (pk, pv) = block_forward(
+                    p_layer, config, x, cos, sin, kv=(pk, pv), slot=slot,
+                    mask=mask, layer_id=layer_id, page_table=page_table,
+                    positions=positions,
+                )
+                return (x, pk, pv), None
+
+            (x, nk, nv), _ = lax.scan(
+                step, (x, cache.k, cache.v), (rest, layer_ids))
+            new_cache = cache_cls(k=nk, v=nv)
+    elif cache.quantized:
         def step(x, layer):
             rest_l, layer_id, k_l, v_l, ks_l, vs_l = layer
             p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l, ks_l, vs_l),
-                slot=slot, mask=mask, layer_id=layer_id, page_table=page_table,
-                positions=positions,
+                slot=slot, mask=mask, layer_id=layer_id,
             )
             return x, new_kv
 
@@ -810,12 +904,25 @@ def forward_decode_batched(
             p_layer = _merge_qlin(rest_l, qmap, layer_id)
             x, new_kv = block_forward(
                 p_layer, config, x, cos, sin, kv=(k_l, v_l), slot=slot, mask=mask,
-                layer_id=layer_id, page_table=page_table, positions=positions,
+                layer_id=layer_id,
             )
             return x, new_kv
 
         x, (nk, nv) = lax.scan(step, x, (rest, layer_ids, cache.k, cache.v))
         new_cache = cache_cls(k=nk, v=nv)
+
+    if implicit_view is not None:
+        # undo the free pool-view reshape: back to [L, B, S, ...]
+        def _from_pool(a):
+            return a.reshape((a.shape[0],) + implicit_view + a.shape[3:])
+
+        new_cache = (
+            cache_cls(k=_from_pool(new_cache.k), v=_from_pool(new_cache.v),
+                      k_scale=_from_pool(new_cache.k_scale),
+                      v_scale=_from_pool(new_cache.v_scale))
+            if new_cache.quantized
+            else cache_cls(k=_from_pool(new_cache.k), v=_from_pool(new_cache.v))
+        )
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))

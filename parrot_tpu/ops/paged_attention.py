@@ -56,12 +56,13 @@ def _kernel(
     # scalar prefetch
     pt_ref,   # [B * n_pages] int32 page table (clamped device-side)
     pos_ref,  # [B] int32 positions
+    ly_ref,   # [1] int32 layer index into the stacked pool (index maps only)
     # inputs
     q_ref,    # [1, G*qpk_pad, H]  (queries, per-group padded to 8 rows)
-    k_ref,    # [1, ps, G, H]      (one whole pool page)
-    v_ref,    # [1, ps, G, H]
-    ks_ref,   # [1, ps, G] or None (int8 KV)
-    vs_ref,   # [1, ps, G] or None
+    k_ref,    # [1, 1, ps, G, H]   (one whole pool page of one layer)
+    v_ref,    # [1, 1, ps, G, H]
+    ks_ref,   # [1, 1, ps, G] or None (int8 KV)
+    vs_ref,   # [1, 1, ps, G] or None
     # output
     out_ref,  # [1, G*qpk_pad, H]
     # scratch
@@ -98,8 +99,8 @@ def _kernel(
     idx = j * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
     valid = (idx <= pos) | (pos >= S)  # same mask as forward_decode_batched
 
-    k3 = k_ref[0]  # [ps, G, H]
-    v3 = v_ref[0]
+    k3 = k_ref[0, 0]  # [ps, G, H]
+    v3 = v_ref[0, 0]
     for g in range(G):
         sl = slice(g * qpk_pad, (g + 1) * qpk_pad)
         q = q_ref[0, sl].astype(jnp.float32)      # [qpk_pad, H]
@@ -109,7 +110,7 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )  # [qpk_pad, ps]
         if quantized:
-            scores = scores * ks_ref[0][:, g][None, :].astype(jnp.float32)
+            scores = scores * ks_ref[0, 0][:, g][None, :].astype(jnp.float32)
         scores = jnp.where(valid, scores * jnp.float32(scale), NEG_INF)
 
         m_prev = m_ref[sl, :1]
@@ -124,7 +125,7 @@ def _kernel(
 
         vg = v3[:, g, :].astype(jnp.float32)  # [ps, H]
         if quantized:
-            p = p * vs_ref[0][:, g][None, :].astype(jnp.float32)
+            p = p * vs_ref[0, 0][:, g][None, :].astype(jnp.float32)
         o = jax.lax.dot_general(
             p, vg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
@@ -138,18 +139,33 @@ def _kernel(
 
 def paged_attention_decode(
     q: jnp.ndarray,           # [B, n_head, H] (decode: T == 1, squeezed)
-    pool_k: jnp.ndarray,      # [P, ps, G, H] (this layer's page pool)
-    pool_v: jnp.ndarray,
+    pool_k: jnp.ndarray,      # [P, ps, G, H] per-layer slab, or [L, P, ps, G, H]
+    pool_v: jnp.ndarray,      #   stacked pool (pass ``layer`` for the latter)
     page_table: jnp.ndarray,  # [B, n_pages] int32 (-1 = unallocated)
     positions: jnp.ndarray,   # [B] int32
     *,
     scale: float,
-    k_scale: Optional[jnp.ndarray] = None,  # [P, ps, G] (int8 KV)
+    k_scale: Optional[jnp.ndarray] = None,  # [(L,) P, ps, G] (int8 KV)
     v_scale: Optional[jnp.ndarray] = None,
+    layer: Optional[jnp.ndarray] = None,    # traced scalar layer index (5-D pools)
 ) -> jnp.ndarray:
-    """Fused paged decode attention: ``[B, n_head, H]`` out, no gather."""
+    """Fused paged decode attention: ``[B, n_head, H]`` out, no gather.
+
+    The stacked 5-D form is how the layer scan calls this WITHOUT threading
+    per-layer pool slabs through the scan (which made XLA materialize a full
+    slab copy in and out every decode step — the wide-paged-serving
+    bottleneck named in PERF.md round 5): the pool stays a closed-over scan
+    carry and the kernel indexes the layer via a scalar-prefetched index map,
+    exactly like the stacked quantized-weight kernels (``gpt._split_qlin``).
+    """
+    if pool_k.ndim == 4:
+        # per-layer slab view — same kernel, a 1-layer stacked pool
+        pool_k, pool_v = pool_k[None], pool_v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = jnp.zeros((), jnp.int32)
     B, n_head, H = q.shape
-    P, ps, G, _ = pool_k.shape
+    _, P, ps, G, _ = pool_k.shape
     n_pages = page_table.shape[1]
     S = n_pages * ps
     qpk = n_head // G
@@ -164,10 +180,11 @@ def paged_attention_decode(
 
     pt_flat = jnp.maximum(page_table, 0).reshape(-1).astype(jnp.int32)
     pos = positions.astype(jnp.int32)
+    ly = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid = (B, n_pages)
     q_spec = pl.BlockSpec(
-        (1, G * qpk_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
+        (1, G * qpk_pad, H), lambda b, j, pt, ps_, ly_: (b, 0, 0),
         memory_space=pltpu.VMEM)
     # LIVE-PAGE clamp: pages past the slot's position map to its last live
     # page, so consecutive grid steps see a REPEATED block index and Pallas
@@ -180,15 +197,15 @@ def paged_attention_decode(
         return pt[b * _np + jl]
 
     page_spec = pl.BlockSpec(
-        (1, ps, G, H),
-        lambda b, j, pt, ps_: (_live_page(b, j, pt, ps_), 0, 0, 0),
+        (1, 1, ps, G, H),
+        lambda b, j, pt, ps_, ly_: (ly_[0], _live_page(b, j, pt, ps_), 0, 0, 0),
         memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec(
-        (1, ps, G),
-        lambda b, j, pt, ps_: (_live_page(b, j, pt, ps_), 0, 0),
+        (1, 1, ps, G),
+        lambda b, j, pt, ps_, ly_: (ly_[0], _live_page(b, j, pt, ps_), 0, 0),
         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, G * qpk_pad, H), lambda b, j, pt, ps_: (b, 0, 0),
+        (1, G * qpk_pad, H), lambda b, j, pt, ps_, ly_: (b, 0, 0),
         memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -202,12 +219,12 @@ def paged_attention_decode(
         args += [k_scale, v_scale]
         body = kernel
     else:
-        def body(pt_ref, pos_ref, q_ref, k_ref, v_ref, out_ref, *scratch):
-            return kernel(pt_ref, pos_ref, q_ref, k_ref, v_ref, None, None,
-                          out_ref, *scratch)
+        def body(pt_ref, pos_ref, ly_ref, q_ref, k_ref, v_ref, out_ref, *scratch):
+            return kernel(pt_ref, pos_ref, ly_ref, q_ref, k_ref, v_ref, None,
+                          None, out_ref, *scratch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -221,7 +238,7 @@ def paged_attention_decode(
         body, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, G * qpk_pad, H), q.dtype),
         interpret=_INTERPRET,
-    )(pt_flat, pos, *args)
+    )(pt_flat, pos, ly, *args)
     return out.reshape(B, G, qpk_pad, H)[:, :, :qpk].reshape(B, n_head, H)
 
 

@@ -61,6 +61,7 @@ def main(
     slo_sweep: bool = False,
     slo_tok_s: float = 100.0,
     slots_list: str = "1,2,4,8,16",
+    seq_length: Optional[int] = None,
 ) -> None:
     """Benchmarks the serving path.
 
@@ -92,6 +93,9 @@ def main(
             contiguous slot rows (models/paged_kv.py).
         page_size: (paged) tokens per page.
         total_pages: (paged) pool size; default = contiguous-equivalent.
+        seq_length: (continuous) per-slot cache length override; default
+            prompt_length + max_new_tokens. Lets A/Bs hold the KV footprint
+            fixed while varying the live-token workload (PERF.md envelope).
         slo_sweep: sweep slot counts under saturated load and report the max
             slots sustaining per-stream p50 >= --slo_tok_s — the measured
             slots-vs-per-stream-latency curve (VERDICT r3 #9).
@@ -137,7 +141,7 @@ def main(
                 max_new_tokens=max_new_tokens, slots=s,
                 n_requests=max(n_requests, 3 * s), arrival_interval_ms=0.0,
                 quantize=quantize, kv_cache=kv_cache, seed=seed, burst=burst,
-                sync_admission=sync_admission, **paged_kw,
+                sync_admission=sync_admission, seq_length=seq_length, **paged_kw,
             )
             rows.append(row)
         ok = [r for r in rows if (r["decode_tok_s_p50"] or 0) >= slo_tok_s]
@@ -155,7 +159,7 @@ def main(
             max_new_tokens=max_new_tokens, slots=batch_size,
             n_requests=n_requests, arrival_interval_ms=arrival_interval_ms,
             quantize=quantize, kv_cache=kv_cache, seed=seed, burst=burst,
-            sync_admission=sync_admission, **paged_kw,
+            sync_admission=sync_admission, seq_length=seq_length, **paged_kw,
         )
         return
 
@@ -243,6 +247,7 @@ def _run_continuous(
     config, params, cache_dtype, *, prompt_length, max_new_tokens, slots,
     n_requests, arrival_interval_ms, quantize, kv_cache, seed, burst=1,
     sync_admission=False, paged_kv=False, page_size=64, total_pages=None,
+    seq_length=None,
 ):
     """Concurrent-arrival benchmark over the continuous-batching engine:
     requests arrive on a wall-clock schedule, are admitted into free decode
@@ -264,7 +269,7 @@ def _run_continuous(
         for _ in range(n_requests)
     ]
 
-    S = min(config.block_size, prompt_length + max_new_tokens)
+    S = min(config.block_size, seq_length or (prompt_length + max_new_tokens))
     if paged_kv and S % page_size:
         S = -(-S // page_size) * page_size
         if S > config.block_size:  # round DOWN instead of past block_size
