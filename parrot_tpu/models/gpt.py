@@ -313,10 +313,19 @@ def attn_forward(
             cache_k, cache_v, ks, vs = kv
             kq, k_sc = _quantize_kv(k)
             vq, v_sc = _quantize_kv(v)
-            cache_k = cache_k.at[widx].set(kq[:, 0])
-            cache_v = cache_v.at[widx].set(vq[:, 0])
-            ks = ks.at[widx].set(k_sc[:, 0])
-            vs = vs.at[widx].set(v_sc[:, 0])
+            if stacked and fused:
+                # aliased Pallas write: XLA does NOT alias the .at[] scatter
+                # on the stacked pool (full pool copy per layer, measured —
+                # see pa.paged_kv_write docstring)
+                cache_k, cache_v, ks, vs = pa.paged_kv_write(
+                    cache_k, cache_v, kq[:, 0], vq[:, 0], page_of, row,
+                    layer_id, pool_ks=ks, pool_vs=vs,
+                    k_sc=k_sc[:, 0], v_sc=v_sc[:, 0])
+            else:
+                cache_k = cache_k.at[widx].set(kq[:, 0])
+                cache_v = cache_v.at[widx].set(vq[:, 0])
+                ks = ks.at[widx].set(k_sc[:, 0])
+                vs = vs.at[widx].set(v_sc[:, 0])
             new_kv = (cache_k, cache_v, ks, vs)
             if fused:
                 y = pa.paged_attention_decode(
@@ -333,8 +342,13 @@ def attn_forward(
                 )
         else:
             cache_k, cache_v = kv
-            cache_k = cache_k.at[widx].set(k[:, 0].astype(cache_k.dtype))
-            cache_v = cache_v.at[widx].set(v[:, 0].astype(cache_v.dtype))
+            if stacked and fused:
+                cache_k, cache_v = pa.paged_kv_write(
+                    cache_k, cache_v, k[:, 0].astype(cache_k.dtype),
+                    v[:, 0].astype(cache_v.dtype), page_of, row, layer_id)
+            else:
+                cache_k = cache_k.at[widx].set(k[:, 0].astype(cache_k.dtype))
+                cache_v = cache_v.at[widx].set(v[:, 0].astype(cache_v.dtype))
             new_kv = (cache_k, cache_v)
             if fused:
                 # the kernel casts page blocks to f32 in VMEM — no pool-wide cast
@@ -807,40 +821,13 @@ def forward_decode_batched(
     layer_ids = jnp.arange(config.n_layer)
     rest, qmap = _split_qlin(params["blocks"])
     cache_cls = type(cache)
-    implicit_view = None
-    if page_table is None:
-        # contiguous ragged decode, TPU fast path: view the [L, B, S, ...]
-        # cache as an implicitly-paged pool (an IDENTITY page table over a
-        # free reshape — page b*(S/ps)+j holds slot b's rows [j*ps,(j+1)*ps)).
-        # This routes the contiguous path through the same carry-based scan +
-        # splash kernel as true paging, which buys it the two paged wins with
-        # zero allocator machinery: (1) the cache stops riding the scan as
-        # xs/ys, killing the full-slab materialization per layer per step;
-        # (2) the kernel's live-page clamp stops reading rows past each
-        # slot's position. CPU/odd-shape fallback keeps the exact original
-        # program (bit-identical tokens for seeded tests).
-        from parrot_tpu.ops import paged_attention as pa
-        from parrot_tpu.ops.quant_matmul import _on_tpu
-
-        ps_view = next((p for p in (128, 64, 32, 16, 8) if S % p == 0), 0)
-        if ps_view and pa.use_kernel(_on_tpu(), ps_view, config.head_size):
-            npp = S // ps_view
-            page_table = (
-                jnp.arange(B, dtype=jnp.int32)[:, None] * npp
-                + jnp.arange(npp, dtype=jnp.int32)[None, :]
-            )
-            implicit_view = (B, S)
-
-            def _to_pool(a):
-                return a.reshape((a.shape[0], B * npp, ps_view) + a.shape[3:])
-
-            cache = (
-                cache_cls(k=_to_pool(cache.k), v=_to_pool(cache.v),
-                          k_scale=_to_pool(cache.k_scale),
-                          v_scale=_to_pool(cache.v_scale))
-                if cache.quantized
-                else cache_cls(k=_to_pool(cache.k), v=_to_pool(cache.v))
-            )
+    # NOTE (measured, PERF.md round 5): routing the CONTIGUOUS path through
+    # the carry scan via an identity-page-table view of the cache (free
+    # reshape, live-page DMA clamp) was tried and is 4% SLOWER than this
+    # xs/ys form at S=512/64 slots, S=2048/16 slots, and at the pure-step
+    # level — the kernel's per-(slot,page) grid overhead at MHA shapes
+    # outweighs the slab-copy savings, i.e. XLA already handles the xs/ys
+    # threading of the contiguous cache well. Reverted; see git history.
     if page_table is not None:
         # the page POOL rides the scan CARRY (full stacked [L, P, ps, G, H]
         # arrays, updated by a layer-indexed in-place scatter) instead of
@@ -851,6 +838,16 @@ def forward_decode_batched(
         # wide-paged-serving bottleneck). The splash kernel reads pages from
         # the stacked pool via a layer scalar-prefetch index map, mirroring
         # the stacked quantized-weight treatment in _split_qlin.
+        #
+        # unroll=True: a rolled lax.scan DOUBLE-BUFFERS the pool carry — the
+        # probe_paged_step ablation showed step time proportional to POOL
+        # size (80 ms at 513 pages vs 61 ms at 321, fill-invariant), i.e.
+        # XLA copies the carried pool arrays every layer iteration instead
+        # of aliasing the scatter. Fully unrolling collapses the loop to a
+        # straight-line chain of scatters that buffer-assignment aliases in
+        # place. Weights stay compact: the quantized slabs are closed over
+        # via _split_qlin either way, so unrolling only duplicates the tiny
+        # per-layer `rest` slices and block-call graph, not weight bytes.
         if cache.quantized:
             def step(carry, layer):
                 x, pk, pv, pks, pvs = carry
@@ -865,7 +862,7 @@ def forward_decode_batched(
 
             (x, nk, nv, nks, nvs), _ = lax.scan(
                 step, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
-                (rest, layer_ids),
+                (rest, layer_ids), unroll=True,
             )
             new_cache = cache_cls(k=nk, v=nv, k_scale=nks, v_scale=nvs)
         else:
@@ -881,7 +878,7 @@ def forward_decode_batched(
                 return (x, pk, pv), None
 
             (x, nk, nv), _ = lax.scan(
-                step, (x, cache.k, cache.v), (rest, layer_ids))
+                step, (x, cache.k, cache.v), (rest, layer_ids), unroll=True)
             new_cache = cache_cls(k=nk, v=nv)
     elif cache.quantized:
         def step(x, layer):
@@ -910,19 +907,6 @@ def forward_decode_batched(
 
         x, (nk, nv) = lax.scan(step, x, (rest, layer_ids, cache.k, cache.v))
         new_cache = cache_cls(k=nk, v=nv)
-
-    if implicit_view is not None:
-        # undo the free pool-view reshape: back to [L, B, S, ...]
-        def _from_pool(a):
-            return a.reshape((a.shape[0],) + implicit_view + a.shape[3:])
-
-        new_cache = (
-            cache_cls(k=_from_pool(new_cache.k), v=_from_pool(new_cache.v),
-                      k_scale=_from_pool(new_cache.k_scale),
-                      v_scale=_from_pool(new_cache.v_scale))
-            if new_cache.quantized
-            else cache_cls(k=_from_pool(new_cache.k), v=_from_pool(new_cache.v))
-        )
 
     x = apply_norm(params["ln_f"], x, config.norm_class, config.norm_eps)
     logits = apply_linear(params["lm_head"], x, lora_scaling=_lora_scaling(config))

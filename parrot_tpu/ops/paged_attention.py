@@ -31,6 +31,7 @@ descendants (vLLM PagedAttention) do with warp-level gather.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -45,7 +46,8 @@ _INTERPRET = False  # flipped by tests on CPU
 
 # On/off switch for the fused kernel (module global read at trace time so a
 # serving process can A/B it; the XLA gather path remains the oracle).
-ENABLED = True
+# PARROT_PAGED_KERNEL=0 disables it from the environment for script A/Bs.
+ENABLED = os.environ.get("PARROT_PAGED_KERNEL", "1") != "0"
 
 
 def _round_up(n: int, m: int) -> int:
@@ -240,6 +242,99 @@ def paged_attention_decode(
         interpret=_INTERPRET,
     )(pt_flat, pos, ly, *args)
     return out.reshape(B, G, qpk_pad, H)[:, :, :qpk].reshape(B, n_head, H)
+
+
+def paged_kv_write(
+    pool_k: jnp.ndarray,   # [L, P, ps, G, H] stacked pool (aliased in place)
+    pool_v: jnp.ndarray,
+    k: jnp.ndarray,        # [B, G, H] this token's K rows (pool dtype)
+    v: jnp.ndarray,
+    page_of: jnp.ndarray,  # [B] int32 pool page per slot (trash-clamped)
+    row: jnp.ndarray,      # [B] int32 row within the page
+    layer: jnp.ndarray,    # traced scalar layer index
+    pool_ks: Optional[jnp.ndarray] = None,  # [L, P, ps, G] (int8 KV)
+    pool_vs: Optional[jnp.ndarray] = None,
+    k_sc: Optional[jnp.ndarray] = None,     # [B, G] f32
+    v_sc: Optional[jnp.ndarray] = None,
+):
+    """Write one decode token's K/V rows into the stacked page pool IN PLACE
+    (``input_output_aliases``) and return the updated pool arrays.
+
+    Why a kernel and not ``pool.at[layer, page, row].set(...)``: XLA does not
+    alias that scatter — measured on-chip, the paged decode step's time was
+    proportional to POOL size, not live tokens (probe_paged_step: 80 ms at
+    513 pages vs 61 ms at 321, fill-invariant; rolled or unrolled scan
+    alike), i.e. every layer paid a full pool copy. With the aliased Pallas
+    write the pool is updated by ``B`` row-sized DMAs and the copies vanish.
+    One grid step per slot; repeated (page, row) targets (dead slots clamped
+    to the trash page) are benign last-writer-wins.
+    """
+    B, G, H = k.shape
+    ps = pool_k.shape[2]
+    quantized = pool_ks is not None
+    pf = page_of.astype(jnp.int32)
+    rw = row.astype(jnp.int32)
+    ly = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    # K/V blocks are a single pool row: trailing (G, H) are whole array dims,
+    # always Mosaic-legal. SCALE blocks can't be a single row ((1, G) has a
+    # non-whole, non-8-divisible second-minor), so they cover the whole
+    # page's scale rows (ps*G*4 B ≈ 1 KB) and the kernel row-masks the
+    # update — read-modify-write on the aliased block.
+    tok_spec = pl.BlockSpec((1, G, H), lambda b, pf_, rw_, ly_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tok_sc_spec = pl.BlockSpec((1, 1, G), lambda b, pf_, rw_, ly_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    pool_spec = pl.BlockSpec(
+        (1, 1, 1, G, H),
+        lambda b, pf_, rw_, ly_: (ly_[0], pf_[b], rw_[b], 0, 0),
+        memory_space=pltpu.VMEM)
+    pool_sc_spec = pl.BlockSpec(
+        (1, 1, ps, G),
+        lambda b, pf_, rw_, ly_: (ly_[0], pf_[b], 0, 0),
+        memory_space=pltpu.VMEM)
+
+    if quantized:
+        def body(pf_ref, rw_ref, ly_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 pk_in, pv_in, pks_in, pvs_in,
+                 pk_out, pv_out, pks_out, pvs_out):
+            b = pl.program_id(0)
+            pk_out[0, 0, 0] = k_ref[0]
+            pv_out[0, 0, 0] = v_ref[0]
+            sel = jax.lax.broadcasted_iota(jnp.int32, (ps, G), 0) == rw_ref[b]
+            pks_out[0, 0] = jnp.where(sel, ks_ref[0], pks_in[0, 0])
+            pvs_out[0, 0] = jnp.where(sel, vs_ref[0], pvs_in[0, 0])
+
+        in_specs = [tok_spec, tok_spec, tok_sc_spec, tok_sc_spec,
+                    pool_spec, pool_spec, pool_sc_spec, pool_sc_spec]
+        args = [k, v, k_sc[:, None], v_sc[:, None], pool_k, pool_v,
+                pool_ks, pool_vs]
+        out_specs = [pool_spec, pool_spec, pool_sc_spec, pool_sc_spec]
+        out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                     for a in (pool_k, pool_v, pool_ks, pool_vs)]
+        # alias indices count scalar-prefetch operands first (3 scalars)
+        aliases = {7: 0, 8: 1, 9: 2, 10: 3}
+    else:
+        def body(pf_ref, rw_ref, ly_ref, k_ref, v_ref, pk_in, pv_in,
+                 pk_out, pv_out):
+            pk_out[0, 0, 0] = k_ref[0]
+            pv_out[0, 0, 0] = v_ref[0]
+
+        in_specs = [tok_spec, tok_spec, pool_spec, pool_spec]
+        args = [k, v, pool_k, pool_v]
+        out_specs = [pool_spec, pool_spec]
+        out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                     for a in (pool_k, pool_v)]
+        aliases = {5: 0, 6: 1}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(B,), in_specs=in_specs,
+        out_specs=out_specs)
+    out = pl.pallas_call(
+        body, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases=aliases, interpret=_INTERPRET,
+    )(pf, rw, ly, *args)
+    return tuple(out)
 
 
 def use_kernel(on_tpu: bool, page_size: int, H: int) -> bool:
