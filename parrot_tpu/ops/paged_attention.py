@@ -49,6 +49,11 @@ _INTERPRET = False  # flipped by tests on CPU
 # PARROT_PAGED_KERNEL=0 disables it from the environment for script A/Bs.
 ENABLED = os.environ.get("PARROT_PAGED_KERNEL", "1") != "0"
 
+# Decode-kernel generation: 2 = grid-(slot,) live-page loop with manual
+# double-buffered page DMA (default); 1 = grid-(slot, page) pipelined
+# blocks. PARROT_PAGED_KERNEL_V selects for A/Bs.
+DECODE_KERNEL = int(os.environ.get("PARROT_PAGED_KERNEL_V", "2"))
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
@@ -166,6 +171,16 @@ def paged_attention_decode(
         if k_scale is not None:
             k_scale, v_scale = k_scale[None], v_scale[None]
         layer = jnp.zeros((), jnp.int32)
+    # v2 needs lane-exact page slices: H a full lane multiple and the
+    # flattened page rows a full int8/bf16 sublane tile (H=64 models —
+    # falcon MQA, tiny test configs — ride v1, whose whole-dim blocks allow
+    # half-populated lanes; their grouped KV is small so v1's per-page grid
+    # cost is negligible there).
+    if (DECODE_KERNEL == 2 and q.shape[-1] % 128 == 0
+            and (pool_k.shape[2] * pool_k.shape[3]) % 32 == 0):
+        return _decode_v2(q, pool_k, pool_v, page_table, positions,
+                          scale=scale, k_scale=k_scale, v_scale=v_scale,
+                          layer=layer)
     B, n_head, H = q.shape
     _, P, ps, G, _ = pool_k.shape
     n_pages = page_table.shape[1]
@@ -242,6 +257,220 @@ def paged_attention_decode(
         interpret=_INTERPRET,
     )(pt_flat, pos, ly, *args)
     return out.reshape(B, G, qpk_pad, H)[:, :, :qpk].reshape(B, n_head, H)
+
+
+def _decode_kernel_v2(
+    # scalar prefetch (SMEM)
+    pt_ref,   # [B * n_pages] int32 page table (clamped device-side)
+    pos_ref,  # [B] int32 positions
+    ly_ref,   # [1] int32 layer index
+    # inputs
+    q_ref,    # [1, hp, H] VMEM (heads padded to a multiple of 8)
+    k_hbm,    # [L, P, psG, H] (ANY: stays in HBM, paged in manually)
+    v_hbm,
+    ks_hbm,   # [L, P, 1, psG] f32 or None
+    vs_hbm,
+    # output
+    out_ref,  # [1, hp, H] VMEM
+    # scratch
+    k_buf,    # [2, psG, H] pool dtype (double buffer)
+    v_buf,
+    ks_buf,   # [2, 1, psG] f32 or None
+    vs_buf,
+    m_ref,    # [hp, LANES] f32
+    l_ref,
+    acc_ref,  # [hp, H] f32
+    sems,     # DMA semaphores [4, 2]
+    *,
+    ps: int,
+    G: int,
+    qpk: int,
+    n_pages: int,
+    S: int,
+    scale: float,
+    quantized: bool,
+):
+    """Grid (slot,): per-slot online softmax over ONLY the live pages, with
+    manually double-buffered page DMA.
+
+    Two measured facts drove this rewrite of the grid-(slot, page) v1
+    (probe_paged_step, 3B int4+int8KV): (1) v1's cost was ~7.4 us per
+    (slot, page) PER LAYER regardless of live tokens — the pipeline runs
+    every page's grid step even when the live-page index map suppresses the
+    re-DMA, so decode paid for pages_per_slot, not live pages; (2) most of
+    that time was the G-unrolled group loop of tiny [qpk_pad, H] x [H, ps]
+    dots. Here the page loop is a fori_loop bounded by the slot's LIVE page
+    count, and each page is ONE [hp, H] x [H, ps*G] MXU dot against the
+    flattened page with an iota group/validity mask (verify-skill lesson:
+    flatten + mask beats per-group assembly) — so attention time scales
+    with live tokens and the MXU sees one wide op per page instead of G
+    narrow ones.
+    """
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    ly = ly_ref[0]
+    n_live = jnp.where(pos >= S, n_pages,
+                       jnp.minimum(pos // ps + 1, n_pages))
+
+    def dmas(j_slot, pid):
+        ops = [
+            pltpu.make_async_copy(k_hbm.at[ly, pid], k_buf.at[j_slot],
+                                  sems.at[0, j_slot]),
+            pltpu.make_async_copy(v_hbm.at[ly, pid], v_buf.at[j_slot],
+                                  sems.at[1, j_slot]),
+        ]
+        if quantized:
+            ops += [
+                pltpu.make_async_copy(ks_hbm.at[ly, pid], ks_buf.at[j_slot],
+                                      sems.at[2, j_slot]),
+                pltpu.make_async_copy(vs_hbm.at[ly, pid], vs_buf.at[j_slot],
+                                      sems.at[3, j_slot]),
+            ]
+        return ops
+
+    def start(j, j_slot):
+        pid = pt_ref[b * n_pages + j]
+        for op in dmas(j_slot, pid):
+            op.start()
+
+    def wait(j, j_slot):
+        pid = pt_ref[b * n_pages + j]
+        for op in dmas(j_slot, pid):
+            op.wait()
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    start(0, 0)
+
+    hp = q_ref.shape[1]
+    psG = ps * G
+    hh = jax.lax.broadcasted_iota(jnp.int32, (hp, psG), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (hp, psG), 1)
+    # flattened page column c holds (row=c//G, group=c%G); head h reads
+    # group h//qpk — padded head rows match no group and fall out masked
+    grp_ok = (cc % G) == (hh // qpk)
+    q = q_ref[0].astype(jnp.float32)  # [hp, H]
+
+    def loop(j, carry):
+        j_slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_live)
+        def _():
+            start(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait(j, j_slot)
+        kg = k_buf[j_slot].astype(jnp.float32)  # [psG, H]
+        scores = jax.lax.dot_general(
+            q, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [hp, psG]
+        if quantized:
+            scores = scores * ks_buf[j_slot].astype(jnp.float32)
+        row_pos = j * ps + cc // G
+        valid = grp_ok & ((row_pos <= pos) | (pos >= S))
+        scores = jnp.where(valid, scores * jnp.float32(scale), NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        # padded-head rows are all-NEG_INF: clamp so exp(x - m) underflows
+        # to 0 instead of NaN (-inf minus -inf)
+        m_new = jnp.maximum(m_new, jnp.float32(-1e30))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        vg = v_buf[j_slot].astype(jnp.float32)  # [psG, H]
+        if quantized:
+            p = p * vs_buf[j_slot].astype(jnp.float32)
+        o = jax.lax.dot_general(
+            p, vg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + o
+        return carry
+
+    jax.lax.fori_loop(0, n_live, loop, 0)
+    denom = jnp.maximum(l_ref[:, :1], 1e-30)
+    out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+def _decode_v2(q, pool_k, pool_v, page_table, positions, *, scale,
+               k_scale=None, v_scale=None, layer=None):
+    """Wrapper for :func:`_decode_kernel_v2` (5-D stacked pools)."""
+    B, n_head, H = q.shape
+    L, P, ps, G, _ = pool_k.shape
+    n_pages = page_table.shape[1]
+    S = n_pages * ps
+    psG = ps * G
+    qpk = n_head // G
+    hp = _round_up(n_head, 8)
+    quantized = k_scale is not None
+
+    if hp != n_head:
+        q = jnp.pad(q, ((0, 0), (0, hp - n_head), (0, 0)))
+
+    # free reshapes: page rows flatten row-major to (row*G + g)
+    k2 = pool_k.reshape(L, P, psG, H)
+    v2 = pool_v.reshape(L, P, psG, H)
+    pt_flat = jnp.maximum(page_table, 0).reshape(-1).astype(jnp.int32)
+    pos = positions.astype(jnp.int32)
+    ly = jnp.asarray(layer if layer is not None else 0, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _decode_kernel_v2, ps=ps, G=G, qpk=qpk, n_pages=n_pages, S=S,
+        scale=scale, quantized=quantized,
+    )
+    dt = pool_k.dtype
+    q_spec = pl.BlockSpec((1, hp, H), lambda b, pt, ps_, ly_: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_spec = pl.BlockSpec((1, hp, H), lambda b, pt, ps_, ly_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((2, psG, H), dt),
+        pltpu.VMEM((2, psG, H), dt),
+        pltpu.VMEM((2, 1, psG), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, 1, psG), jnp.float32) if quantized else None,
+        pltpu.VMEM((hp, LANES), jnp.float32),
+        pltpu.VMEM((hp, LANES), jnp.float32),
+        pltpu.VMEM((hp, H), jnp.float32),
+        pltpu.SemaphoreType.DMA((4, 2)),
+    ]
+    if quantized:
+        ks2 = k_scale.reshape(L, P, 1, psG)
+        vs2 = v_scale.reshape(L, P, 1, psG)
+        in_specs = [q_spec, any_spec, any_spec, any_spec, any_spec]
+        args = [q, k2, v2, ks2, vs2]
+        body = kernel
+    else:
+        scratch = [s for i, s in enumerate(scratch) if i not in (2, 3)]
+
+        def body(pt_ref, pos_ref, ly_ref, q_ref, k_hbm, v_hbm, out_ref,
+                 k_buf, v_buf, m_ref, l_ref, acc_ref, sems):
+            return kernel(pt_ref, pos_ref, ly_ref, q_ref, k_hbm, v_hbm,
+                          None, None, out_ref, k_buf, v_buf, None, None,
+                          m_ref, l_ref, acc_ref, sems)
+
+        in_specs = [q_spec, any_spec, any_spec]
+        args = [q, k2, v2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, hp, H), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(pt_flat, pos, ly, *args)
+    return out[:, :n_head]
 
 
 def paged_kv_write(
